@@ -1,0 +1,122 @@
+"""Geometry kernels vs independent oracles (SURVEY.md §5 plan item d)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geo_epic_ray.geo import cells, extent
+from geo_epic_ray.geo.affine import GridTransform
+from geo_epic_ray.geo.haversine import brute_force_knn, haversine_km
+from geo_epic_ray.geo.knn import KnnIndex
+from geo_epic_ray.geo.pip import PolygonIndex, point_in_polygon
+from geo_epic_ray.geo.wkb import decode_polygon, encode_polygon
+
+
+def _pip_oracle(px, py, rings):
+    """Independent winding-free reference: pure-python even-odd test."""
+    out = []
+    for x, y in zip(px, py):
+        inside = False
+        for ring in rings:
+            for (xa, ya), (xb, yb) in zip(ring[:-1], ring[1:]):
+                if (ya > y) != (yb > y):
+                    xint = xa + (y - ya) * (xb - xa) / (yb - ya)
+                    if x < xint:
+                        inside = not inside
+        out.append(inside)
+    return np.array(out)
+
+
+def test_wkb_roundtrip():
+    ring = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]])
+    hole = np.array([[0.5, 0.5], [1.0, 0.5], [1.0, 1.0], [0.5, 0.5]])
+    back = decode_polygon(encode_polygon([ring, hole]))
+    assert len(back) == 2
+    np.testing.assert_array_equal(back[0], ring)
+    # hole was auto-closed
+    np.testing.assert_array_equal(back[1][:-1], hole[:-1])
+    np.testing.assert_array_equal(back[1][-1], hole[0])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31))
+def test_pip_matches_pure_python_oracle(seed):
+    rng = np.random.default_rng(seed)
+    # irregular star-convex polygon around a center
+    ang = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(3, 12)))
+    rad = rng.uniform(0.2, 1.0, ang.shape[0])
+    cx, cy = rng.uniform(-97.8, -97.2), rng.uniform(36.0, 37.0)
+    ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    px = rng.uniform(cx - 1.2, cx + 1.2, 200)
+    py = rng.uniform(cy - 1.2, cy + 1.2, 200)
+    got = point_in_polygon(px, py, [ring])
+    np.testing.assert_array_equal(got, _pip_oracle(px, py, [ring]))
+
+
+def test_polygon_index_grid_matches_floor_oracle():
+    from geo_epic_ray.fixtures.soil import soil_polygons_table
+
+    soil = soil_polygons_table()
+    polys = [decode_polygon(g) for g in soil["geometry"].to_pylist()]
+    idx = PolygonIndex(soil["mukey"].to_numpy(), polys, res=8)
+    lat, lon = extent.doc_point(np.arange(3000, dtype=np.int64))
+    np.testing.assert_array_equal(idx.lookup(lat, lon), extent.soil_mukey_of(lat, lon))
+
+
+def test_knn_index_exact_vs_brute_force():
+    rng = np.random.default_rng(7)
+    n = 800
+    glat = rng.uniform(extent.LAT0, extent.LAT1, n)
+    glon = rng.uniform(extent.LON0, extent.LON1, n)
+    gid = rng.permutation(n).astype(np.int64)
+    idx = KnnIndex(gid, glat, glon, res=5)
+    qlat, qlon = extent.doc_point(np.arange(1500, dtype=np.int64))
+    got_id, got_d = idx.query(qlat, qlon)
+    exp_id, exp_d = brute_force_knn(qlat, qlon, glat, glon, gid, k=1)
+    np.testing.assert_array_equal(got_id, exp_id[:, 0])
+    np.testing.assert_allclose(got_d, exp_d[:, 0], rtol=1e-12)
+
+
+def test_knn_lattice_equals_round_rule():
+    from geo_epic_ray.fixtures.weather import weather_grid_table
+
+    wg = weather_grid_table()
+    idx = KnnIndex(wg["grid_id"].to_numpy(), wg["lat"].to_numpy(), wg["lon"].to_numpy())
+    lat, lon = extent.doc_point(np.arange(2000, dtype=np.int64))
+    got, _ = idx.query(lat, lon)
+    np.testing.assert_array_equal(got, extent.weather_grid_of(lat, lon))
+
+
+def test_cells_parent_prefix_and_bounds():
+    lat, lon = extent.doc_point(np.arange(500, dtype=np.int64))
+    c10 = cells.cell_of(lat, lon, 10)
+    c6 = cells.cell_of(lat, lon, 6)
+    np.testing.assert_array_equal(cells.parent_cell(c10, 10, 6), c6)
+    # every point is inside its own cell bounds
+    for i in range(0, 500, 97):
+        la0, la1, lo0, lo1 = cells.cell_bounds(int(c10[i]), 10)
+        assert la0 <= lat[i] <= la1 and lo0 <= lon[i] <= lo1
+
+
+def test_affine_tile_matches_extent_oracle():
+    t = GridTransform(
+        extent.LON0, extent.LAT0, extent.PIXEL_DEG,
+        extent.N_TILE_COLS * extent.TILE_PX, extent.N_TILE_ROWS * extent.TILE_PX,
+    )
+    lat, lon = extent.doc_point(np.arange(4000, dtype=np.int64))
+    np.testing.assert_array_equal(
+        t.tile_of(lat, lon, extent.TILE_PX, extent.N_TILE_COLS),
+        extent.tile_of(lat, lon),
+    )
+    # pixel-center half-shift (reference raster_utils.py:243-245)
+    la, lo = t.center_of(np.array([0]), np.array([0]))
+    assert lo[0] == extent.LON0 + 0.5 * extent.PIXEL_DEG
+    assert la[0] == extent.LAT0 + 0.5 * extent.PIXEL_DEG
+
+
+def test_haversine_known_value():
+    # ~111.19 km per degree of latitude at constant longitude
+    d = haversine_km(np.array([35.0]), np.array([-97.0]), np.array([36.0]), np.array([-97.0]))
+    assert abs(d[0] - 111.1949) < 0.01
