@@ -1,0 +1,156 @@
+"""The flagship pipeline: documents -> point -> cell -> PIP + kNN + tile
+-> salted spatial partitions -> resumable partitioned output + lineage.
+
+Ray-Data restatement of the reference's prepare/run lifecycle
+(geoEpic/workspace/prepare.py:100-107 site→soil→weather enrichment;
+SURVEY.md §3.2): one lazy Dataset lineage, streaming execution, actor
+pools for the index joins, one partitioning key reused end-to-end.
+
+Scale notes (100 TB design):
+- The soil/grid side tables are broadcast once via ``ray.put`` and pinned
+  per actor — never re-shipped per batch.
+- The only all-to-all exchange is the final ``groupby(part_key)`` write;
+  its key is the measured, salted spatial partition, so hot cells fan out.
+- Output is one directory per partition written atomically + a manifest
+  row, so a killed run resumes by anti-joining pending keys (state.manifest).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..fixtures.documents import documents_batch
+from ..fixtures.soil import soil_polygons_table
+from ..fixtures.weather import weather_grid_table
+from ..stages.partition import make_part_keys, plan_salts
+from ..stages.spatial import SpatialEnrich, derive_points, encode_cells
+from ..state.manifest import Manifest
+
+
+def synthetic_documents(
+    n: int, *, seed: int = 42, override_num_blocks: int | None = None
+) -> rd.Dataset:
+    """Interleaved-docs corpus generated batch-parallel inside Ray Data."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return documents_batch(batch["id"].to_numpy(), seed=seed)
+
+    base = rd.range(n, override_num_blocks=override_num_blocks)
+    return base.map_batches(gen, batch_format="pyarrow", batch_size=65536)
+
+
+def load_documents(sf_dir: str) -> rd.Dataset:
+    """The driver's documents table (doc_id:int64, text, ...)."""
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def default_concurrency() -> int:
+    """Actor-pool size that leaves headroom for the read/write task stages —
+    a pool that reserves every CPU starves the task operators and the
+    pipeline stalls (observed: concurrency=4 on a 4-CPU local session
+    deadlocks the fused ReadRange stage)."""
+    avail = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, avail - 2)
+
+
+def flagship_enrich(
+    docs: rd.Dataset,
+    *,
+    skew: bool = False,
+    seed: int = 42,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 16384,
+    prefix_res: int = 3,
+) -> rd.Dataset:
+    """point + cell + PIP + kNN + tile over any docs Dataset (lazy)."""
+    if concurrency is None:
+        concurrency = default_concurrency()
+    soil_ref = ray.put(soil_polygons_table())
+    grid_ref = ray.put(weather_grid_table())
+    ds = docs.map_batches(
+        derive_points, batch_format="pyarrow", fn_kwargs={"skew": skew, "seed": seed}
+    )
+    ds = ds.map_batches(
+        encode_cells, batch_format="pyarrow", fn_kwargs={"prefix_res": prefix_res}
+    )
+    return ds.map_batches(
+        SpatialEnrich,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(soil_ref, grid_ref),
+    )
+
+
+def run_flagship(
+    docs: rd.Dataset,
+    out_dir: str,
+    *,
+    input_fingerprint: str,
+    skew: bool = False,
+    seed: int = 42,
+    concurrency: int | tuple[int, int] | None = None,
+    target_rows: int = 500_000,
+    salt_sample_fraction: float | None = None,
+) -> pd.DataFrame:
+    """Enrich + salted partitioning + resumable partitioned write.
+
+    Returns the per-partition write report (part_key, rows, skipped flag).
+    """
+    # Salt plan from a lightweight pass (derive + cells only, optionally on a
+    # sample) — the expensive joins never run twice.
+    cells_only = docs.map_batches(
+        derive_points, batch_format="pyarrow", fn_kwargs={"skew": skew, "seed": seed}
+    ).map_batches(encode_cells, batch_format="pyarrow")
+    salt_plan = plan_salts(
+        cells_only, target_rows=target_rows, sample_fraction=salt_sample_fraction
+    )
+
+    enriched = flagship_enrich(docs, skew=skew, seed=seed, concurrency=concurrency)
+    keyed = enriched.map_batches(
+        make_part_keys, batch_format="pyarrow", fn_kwargs={"salt_plan": salt_plan}
+    )
+
+    manifest = Manifest(out_dir)
+    done = {
+        k: r for k, r in manifest.completed().items()
+        if r.input_fingerprint == input_fingerprint
+    }
+
+    def drop_done(batch: pa.Table, *, finished: frozenset) -> pa.Table:
+        if not finished:
+            return batch
+        keys = batch["part_key"].to_numpy(zero_copy_only=False)
+        mask = np.array([k not in finished for k in keys])
+        return batch.filter(pa.array(mask))
+
+    pending = keyed.map_batches(
+        drop_done, batch_format="pyarrow", fn_kwargs={"finished": frozenset(done)}
+    )
+
+    def write_group(g: pa.Table) -> pa.Table:
+        key = g["part_key"][0].as_py()
+        rec = Manifest(out_dir).write_partition(
+            key, g.drop_columns(["part_key"]), input_fingerprint
+        )
+        return pa.table({"part_key": [key], "rows": [rec.row_count], "skipped": [False]})
+
+    written = (
+        pending.groupby("part_key").map_groups(write_group, batch_format="pyarrow")
+    ).to_pandas()
+    skipped = pd.DataFrame(
+        {
+            "part_key": pd.Series(list(done), dtype=str),
+            "rows": pd.Series([r.row_count for r in done.values()], dtype="int64"),
+            "skipped": pd.Series([True] * len(done), dtype=bool),
+        }
+    )
+    frames = [f for f in (written, skipped) if len(f)]
+    if not frames:
+        return pd.DataFrame(columns=["part_key", "rows", "skipped"])
+    report = pd.concat(frames, ignore_index=True)
+    return report.sort_values("part_key").reset_index(drop=True)

@@ -1,0 +1,540 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2),
+each with a Ray Data implementation and (where SQL-expressible) a DuckDB
+oracle the driver runs side-by-side at sf=0.01.
+
+Design rules for oracle parity:
+- Geo queries derive (lat, lon) per doc with exact int64 modular arithmetic
+  + IEEE-double ops that evaluate bit-identically in numpy and DuckDB
+  (geo.extent.doc_point / doc_point_sql), so PIP / kNN / tiling results are
+  integer-exact against floor/round SQL.
+- Float aggregate outputs are rounded to a fixed number of decimals in BOTH
+  implementations.
+- Computed columns carry the same name in both (the driver sorts columns by
+  name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..geo import extent
+from ..geo.extent import doc_point_sql
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# SQL fragments reused by the geo oracles.
+_LAT, _LON = doc_point_sql("doc_id")
+_MUKEY_SQL = (
+    f"(CAST(floor(({_LAT} - {extent.LAT0}) / {extent.SOIL_CELL_DEG}) AS BIGINT)"
+    f" * {extent.SOIL_NCOLS}"
+    f" + CAST(floor(({_LON} - {extent.LON0}) / {extent.SOIL_CELL_DEG}) AS BIGINT))"
+)
+_GRID_SQL = (
+    f"(CAST(floor(({_LAT} - {extent.LAT0}) / {extent.WEATHER_STEP_DEG} + 0.5) AS BIGINT)"
+    f" * {extent.WEATHER_NCOLS}"
+    f" + CAST(floor(({_LON} - {extent.LON0}) / {extent.WEATHER_STEP_DEG} + 0.5) AS BIGINT))"
+)
+_TILE_SQL = (
+    f"((CAST(floor(({_LAT} - {extent.LAT0}) / {extent.PIXEL_DEG}) AS BIGINT)"
+    f" // {extent.TILE_PX}) * {extent.N_TILE_COLS}"
+    f" + (CAST(floor(({_LON} - {extent.LON0}) / {extent.PIXEL_DEG}) AS BIGINT)"
+    f" // {extent.TILE_PX}))"
+)
+
+
+def _enriched(sf_dir: str) -> rd.Dataset:
+    """documents + derived point + PIP + kNN + tile (the real actor-pool
+    code path, not the floor shortcut the oracles use)."""
+    from .flagship import flagship_enrich
+
+    return flagship_enrich(_docs(sf_dir), skew=False, concurrency=2, batch_size=4096)
+
+
+# --- J1: site -> soil polygon (PIP) ----------------------------------------
+
+
+@register(
+    "geo_pip_soil",
+    f"SELECT doc_id, {_MUKEY_SQL} AS mukey FROM documents",
+)
+def geo_pip_soil(sf_dir: str):
+    return _enriched(sf_dir).select_columns(["doc_id", "mukey"])
+
+
+# --- J2: site -> nearest weather grid cell (kNN) ----------------------------
+
+
+@register(
+    "geo_knn_weather",
+    f"SELECT doc_id, {_GRID_SQL} AS grid_id FROM documents",
+)
+def geo_knn_weather(sf_dir: str):
+    return _enriched(sf_dir).select_columns(["doc_id", "grid_id"])
+
+
+# --- J3: site -> tile (inverse affine) --------------------------------------
+
+
+@register(
+    "geo_tile_assign",
+    f"SELECT doc_id, {_TILE_SQL} AS tile_id FROM documents",
+)
+def geo_tile_assign(sf_dir: str):
+    return _enriched(sf_dir).select_columns(["doc_id", "tile_id"])
+
+
+# --- flagship: all three joins at once --------------------------------------
+
+
+@register(
+    "geo_enrich_full",
+    f"SELECT doc_id, {_MUKEY_SQL} AS mukey, {_GRID_SQL} AS grid_id,"
+    f" {_TILE_SQL} AS tile_id FROM documents",
+)
+def geo_enrich_full(sf_dir: str):
+    return _enriched(sf_dir).select_columns(["doc_id", "mukey", "grid_id", "tile_id"])
+
+
+# --- J4/A5 analog: zonal (per-tile) statistics ------------------------------
+
+
+@register(
+    "geo_tile_zonal",
+    f"SELECT {_TILE_SQL} AS tile_id, count(*) AS n_docs,"
+    f" sum(n_chars) AS sum_chars, round(avg(n_chars), 6) AS avg_chars"
+    f" FROM documents GROUP BY 1",
+)
+def geo_tile_zonal(sf_dir: str):
+    ds = _enriched(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("tile_id").agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("tile_id")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["avg_chars"] = (batch.sum_chars / batch.n_docs).round(6)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- cell-prefix counting (the partitioner's measuring pass) ----------------
+
+
+@register(
+    "geo_cell_count",
+    f"SELECT (CAST(floor(({_LAT} - {extent.LAT0}) / ({extent.LAT1} - {extent.LAT0}) * 64) AS BIGINT) * 64"
+    f" + CAST(floor(({_LON} - {extent.LON0}) / ({extent.LON1} - {extent.LON0}) * 64) AS BIGINT)) AS rc_cell,"
+    f" count(*) AS n FROM documents GROUP BY 1",
+)
+def geo_cell_count(sf_dir: str):
+    """Row-major cell occupancy at res 6 (the salt-planning count)."""
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        lat, lon = extent.doc_point(ids)
+        n = 64
+        col = np.clip(((lon - extent.LON0) / (extent.LON1 - extent.LON0) * n).astype(np.int64), 0, n - 1)
+        row = np.clip(((lat - extent.LAT0) / (extent.LAT1 - extent.LAT0) * n).astype(np.int64), 0, n - 1)
+        return pa.table({"rc_cell": row * n + col})
+
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir)
+        .map_batches(cellify, batch_format="pyarrow")
+        .groupby("rc_cell")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --- TPC-H-style grouped aggregate with partial pre-aggregation -------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+           count(*) AS n_rows
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch.l_shipdate < pd.Timestamp("1997-01-01")]
+        batch = batch.assign(disc=batch.l_extendedprice * (1 - batch.l_discount), one=1)
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_base=("l_extendedprice", "sum"),
+            sum_disc=("disc", "sum"), n_rows=("one", "sum"),
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base", alias_name="sum_base"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base", "sum_disc"):
+            batch[c] = batch[c].round(4)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- M1: select DSL ---------------------------------------------------------
+
+
+@register(
+    "select_dsl_filter",
+    "SELECT event_id, user_id, value FROM events"
+    " WHERE value > 400 AND event_type = 'click'",
+)
+def select_dsl_filter(sf_dir: str):
+    from ..stages.select_dsl import select
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value"]
+    )
+    out = select(ds, "value > 400 and event_type == 'click'", "event_id")
+    return out.select_columns(["event_id", "user_id", "value"])
+
+
+@register(
+    "select_dsl_range",
+    """
+    WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                      row_number() OVER (ORDER BY o_orderkey) AS rn,
+                      count(*) OVER () AS n
+               FROM orders)
+    SELECT o_orderkey, o_custkey, o_totalprice FROM r
+    WHERE rn > floor(0.2 * n) AND rn <= floor(0.5 * n)
+    """,
+)
+def select_dsl_range(sf_dir: str):
+    from ..stages.select_dsl import select
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return select(ds, "Range(0.2, 0.5)", "o_orderkey")
+
+
+@register(
+    "select_dsl_union",
+    f"""
+    SELECT event_id, user_id, value FROM events
+    WHERE value > 450
+       OR {{sample}}
+    """.replace("{sample}", "((event_id * 2654435761 + 40503) % 4294967296) < "
+                + str(int(0.3 * 4294967296))),
+)
+def select_dsl_union(sf_dir: str):
+    """'Random(0.3) + value > 450' — union of two selections, dedup on the
+    id keeping the later branch (reference '+' semantics, misc.py:85-89)."""
+    from ..stages.select_dsl import select
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return select(ds, "Random(0.3) + value > 450", "event_id").select_columns(
+        ["event_id", "user_id", "value"]
+    )
+
+
+# --- M2/J10: broadcast semi / anti joins ------------------------------------
+
+
+@register(
+    "semi_join_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def semi_join_orders(sf_dir: str):
+    from ..stages.joins import semi_join
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"]
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    kept = semi_join(orders, keys, "o_custkey")
+    from ray.data.aggregate import Count, Sum
+
+    agg = kept.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_total"] = b.sum_total.round(4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "anti_join_customers",
+    "SELECT c_custkey, c_name FROM customer"
+    " WHERE c_custkey NOT IN"
+    " (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+)
+def anti_join_customers(sf_dir: str):
+    """Customers with no urgent order — the reference's missing-entity
+    audit shape (M3/J10, geoEpic/workspace/validate.py:6-21)."""
+    from ..stages.joins import anti_join
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    keys = o.loc[o.o_orderpriority == "1-URGENT", "o_custkey"]
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return anti_join(cust, keys, "c_custkey")
+
+
+# --- A3: grouped argmax (dominant component) --------------------------------
+
+
+@register(
+    "dominant_customer",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) = 1
+    """,
+)
+def dominant_customer(sf_dir: str):
+    from ..stages.joins import group_argmax
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_custkey", "c_acctbal"]
+    )
+    return group_argmax(cust, "c_nationkey", "c_acctbal", "c_custkey")
+
+
+# --- A4: layer consolidation (bin + grouped median) -------------------------
+
+
+@register(
+    "layer_consolidation",
+    """
+    SELECT l_partkey, CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+           round(median(l_extendedprice), 4) AS med_price, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def layer_consolidation(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def binify(b: pd.DataFrame) -> pd.DataFrame:
+        b["qty_bin"] = np.floor(b.l_quantity / 10).astype(np.int64)
+        return b[["l_partkey", "qty_bin", "l_extendedprice"]]
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": [g.l_partkey.iloc[0]],
+                "qty_bin": [g.qty_bin.iloc[0]],
+                "med_price": [round(g.l_extendedprice.median(), 4)],
+                "n": [len(g)],
+            }
+        )
+
+    return (
+        ds.map_batches(binify, batch_format="pandas")
+        .groupby(["l_partkey", "qty_bin"])
+        .map_groups(med, batch_format="pandas")
+    )
+
+
+# --- A2: percentile profile -------------------------------------------------
+
+
+@register(
+    "percentile_profile",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.1), 6) AS p10,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(avg(value), 6) AS mean_val
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_profile(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g.event_type.iloc[0]],
+                "p10": [round(g.value.quantile(0.1), 6)],
+                "p90": [round(g.value.quantile(0.9), 6)],
+                "mean_val": [round(g.value.mean(), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(prof, batch_format="pandas")
+
+
+# --- A6: PHU heat-unit accumulation -----------------------------------------
+
+
+@register(
+    "phu_heat_units",
+    """
+    SELECT user_id, round(sum(greatest(value * 0.2 - 15.0, 0.0)), 4) AS phu
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+    GROUP BY user_id
+    """,
+)
+def phu_heat_units(sf_dir: str):
+    """Sum of clipped heat units between two dates per entity — the exact
+    shape of the reference's update_phu (geoEpic/io/opc.py:244-250)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def hu(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b.ts >= pd.Timestamp("2024-01-05")) & (b.ts < pd.Timestamp("2024-01-25"))]
+        return pd.DataFrame({"user_id": b.user_id, "hu": np.maximum(b.value * 0.2 - 15.0, 0.0)})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(hu, batch_format="pandas").groupby("user_id").aggregate(
+        Sum("hu", alias_name="phu")
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["phu"] = b.phu.round(4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- §2.7: exact dedup (hash-partition + per-group first) -------------------
+
+
+@register(
+    "exact_dedup_first",
+    "SELECT lang, source, min(doc_id) AS doc_id FROM documents GROUP BY lang, source",
+)
+def exact_dedup_first(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b["dedup_key"] = b.lang + "\x1f" + b.source
+        return b
+
+    out = (
+        ds.map_batches(key, batch_format="pandas")
+        .groupby("dedup_key")
+        .map_groups(first, batch_format="pandas")
+    )
+    return out.select_columns(["lang", "source", "doc_id"])
+
+
+# --- text analysis: token counting ------------------------------------------
+
+
+@register(
+    "token_count",
+    "SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+    " FROM documents",
+)
+def token_count(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b.doc_id, "n_tokens": b.text.str.split(" ").str.len().astype("int64")}
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / CAST(length(string_split(text, ' ')) AS BIGINT), 6) AS avg_tok_len
+    FROM documents
+    """,
+)
+def text_quality(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def q(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok = b.text.str.split(" ").str.len()
+        nonspace = b.text.str.replace(" ", "", regex=False).str.len()
+        return pd.DataFrame(
+            {
+                "doc_id": b.doc_id,
+                "len_chars": b.text.str.len().astype("int64"),
+                "avg_tok_len": (nonspace / n_tok).round(6),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pandas")

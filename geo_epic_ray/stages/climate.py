@@ -1,0 +1,127 @@
+"""Climate aggregations + scalar formulas.
+
+- ``monthly_climate_stats``: exact reproduction of the reference's
+  daily→monthly INP statistics (geoEpic/io/inputs.py:293-319 to_monthly):
+  dedup by (year,month,day); groupby month over all years; mean of each
+  variable; prcp scaled by fixed days-in-month; std ddof=1; wet-day
+  fraction (prcp > 0.5); skew proxy skrf = 3|RMO - median(RMO over the 12
+  months)| / sdrf; wet→dry (PRW1) and wet→wet (PRW2) transition rates via
+  shifted comparisons in date order; WI = 0. Output column names and order
+  follow the reference INP layout.
+
+  Bug-compatible detail: the reference computes
+  ``np.sum(np.diff(prcp > 0.5) == -1)`` — but numpy's ``diff`` on a
+  boolean array is XOR (True/False), never -1, so the reference's PRW1
+  is always exactly 0. Reproduced here deliberately for output parity.
+- Scalar climate functions (geoEpic/utils/formule.py:3-34): Magnus-type
+  relative humidity from dew point / vapor pressure, wind speed from
+  u/v components.
+- SSURGO unit conversions (geoEpic/soil/sda.py:166-192).
+
+Run per site/grid cell as ``ds.groupby(key).map_groups(monthly_climate_stats)``
+— the reference computes this per-site inside each simulation process
+(geoEpic/core/model.py:176-178); here it is one grouped aggregation over
+the whole weather table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+DAYS_IN_MONTH = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+INP_COLUMNS = [
+    "OBMX", "OBMN", "SDTMX", "SDTMN", "RMO", "RST2", "RST3",
+    "PRW1", "PRW2", "DAYP", "WI", "OBSL", "RH", "UAVO",
+]
+
+
+def monthly_climate_stats(df: pd.DataFrame, *, keep: list[str] | None = None) -> pd.DataFrame:
+    """Daily weather rows (year, month, day, srad, tmax, tmin, prcp, rh, ws)
+    -> 12 monthly INP rows. ``keep`` columns (e.g. the group key) are
+    carried through from the first row."""
+    df = df.sort_values(["year", "month", "day"]).drop_duplicates(
+        subset=["year", "month", "day"]
+    )
+    g = df.groupby("month")
+    ss = g[["tmax", "tmin", "prcp", "srad", "rh", "ws"]].mean()
+    dim = pd.Series(DAYS_IN_MONTH, index=range(1, 13), dtype=float)
+    ss["prcp"] = ss["prcp"] * dim.reindex(ss.index)
+    ss["sdtmx"] = g["tmax"].std()
+    ss["sdtmn"] = g["tmin"].std()
+    ss["sdrf"] = g["prcp"].std()
+    ss["dayp"] = g.apply(lambda x: (x["prcp"] > 0.5).sum() / len(x), include_groups=False)
+    ss["skrf"] = 3 * (ss["prcp"] - ss["prcp"].median()).abs() / ss["sdrf"]
+    ss["prw1"] = g.apply(
+        lambda x: np.sum(np.diff(x["prcp"] > 0.5) == -1) / len(x), include_groups=False
+    )
+    ss["prw2"] = g.apply(
+        lambda x: np.sum(
+            (x["prcp"].fillna(0) > 0.5).shift(fill_value=False)
+            & (x["prcp"].fillna(0) > 0.5)
+        )
+        / len(x),
+        include_groups=False,
+    )
+    ss["wi"] = 0.0
+    ss = ss[["tmax", "tmin", "sdtmx", "sdtmn", "prcp", "sdrf", "skrf",
+             "prw1", "prw2", "dayp", "wi", "srad", "rh", "ws"]]
+    ss.columns = INP_COLUMNS
+    out = ss.reset_index()
+    if keep:
+        for c in keep:
+            out[c] = df[c].iloc[0]
+    return out
+
+
+# --- scalar formulas (geoEpic/utils/formule.py) -----------------------------
+
+
+def magnus_vp(t: np.ndarray) -> np.ndarray:
+    """Saturation vapor pressure (kPa), Magnus form (formule.py:23-27)."""
+    return 0.6108 * np.exp((17.27 * t) / (t + 237.3))
+
+
+def rh_dewpt(tdew: np.ndarray, tavg: np.ndarray) -> np.ndarray:
+    """Relative humidity from dew point (formule.py:3-13)."""
+    return magnus_vp(tdew) / magnus_vp(tavg)
+
+
+def rh_vappr(vp: np.ndarray, tavg: np.ndarray) -> np.ndarray:
+    """Relative humidity from vapor pressure in Pa (formule.py:16-27)."""
+    return (vp / 1000.0) / magnus_vp(tavg)
+
+
+def windspeed(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """sqrt(u^2 + v^2) (formule.py:30-34)."""
+    return np.sqrt(u * u + v * v)
+
+
+# --- SSURGO unit conversions (geoEpic/soil/sda.py:166-192) ------------------
+
+HYDGRP_MAP = {"A": 1, "B": 2, "C": 3, "D": 4}
+
+
+def ssurgo_unit_convert(df: pd.DataFrame) -> pd.DataFrame:
+    """The reference's property conversions: depth cm→m (*0.01), om→oc
+    (*0.58), ksat µm/s→mm/h (*3.6), albedo dry→wet (*0.625), coarse
+    fragment = 100 - sieve, hydgrp letter→number with 'C' default."""
+    out = df.copy()
+    if "hzdepb_r" in out:
+        out["hzdepb_r"] = out["hzdepb_r"] * 0.01
+    if "wfifteenbar_r" in out:
+        out["wfifteenbar_r"] = out["wfifteenbar_r"] * 0.01
+    if "om_r" in out:
+        out["om_r"] = out["om_r"] * 0.58
+    if "ksat_r" in out:
+        out["ksat_r"] = out["ksat_r"] * 3.6
+    if "albedodry_r" in out:
+        out["albedodry_r"] = out["albedodry_r"] * 0.625
+    if "sieveno10_r" in out:
+        out["course_fragment"] = 100.0 - out["sieveno10_r"]
+    if "hydgrp" in out:
+        out["hydgrp"] = (
+            out["hydgrp"].fillna("C").replace("", "C").map(lambda h: HYDGRP_MAP.get(str(h)[0], 3))
+        )
+    return out

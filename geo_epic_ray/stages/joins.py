@@ -1,0 +1,79 @@
+"""Join/lookup stages: broadcast hash / semi / anti joins, grouped argmax.
+
+Reference joins are all driver-side pandas merges (SURVEY.md §2.4); at
+scale the small side is broadcast once (``ray.put``) and probed inside
+``map_batches`` — no shuffle. Grouped argmax (dominant component,
+geoEpic/soil/ssurgo_gdb.py:57) is a ``groupby().map_groups``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..state.broadcast import get
+
+
+class BroadcastJoin:
+    """Left/inner hash join against a broadcast pandas small side."""
+
+    def __init__(self, small_ref, on: str, how: str = "left"):
+        self.small = get(small_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+class SemiAntiJoin:
+    """Keep rows whose key is (semi) / is not (anti) in a broadcast key set."""
+
+    def __init__(self, keys_ref, on: str, anti: bool = False):
+        keys = get(keys_ref)
+        self.keys = np.sort(np.asarray(list(keys) if isinstance(keys, (set, frozenset)) else keys))
+        self.on = on
+        self.anti = anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch[self.on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys, vals)
+        pos = np.clip(pos, 0, len(self.keys) - 1)
+        member = self.keys[pos] == vals
+        return batch.filter(pa.array(~member if self.anti else member))
+
+
+def semi_join(ds: rd.Dataset, keys: Iterable, on: str) -> rd.Dataset:
+    ref = ray.put(np.asarray(sorted(set(keys))))
+    return ds.map_batches(
+        SemiAntiJoin, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(ref, on, False)
+    )
+
+
+def anti_join(ds: rd.Dataset, keys: Iterable, on: str) -> rd.Dataset:
+    ref = ray.put(np.asarray(sorted(set(keys))))
+    return ds.map_batches(
+        SemiAntiJoin, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(ref, on, True)
+    )
+
+
+def group_argmax(
+    ds: rd.Dataset, key: str, value: str, tie_col: str
+) -> rd.Dataset:
+    """Rows achieving the per-group max of ``value``; exact ties broken by
+    the smallest ``tie_col`` (deterministic version of the reference's
+    comppct_r == max filter, geoEpic/soil/ssurgo_gdb.py:57)."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[value].max()
+        best = g[g[value] == m]
+        return best.sort_values(tie_col).head(1)
+
+    return ds.groupby(key).map_groups(pick, batch_format="pandas")

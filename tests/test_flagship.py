@@ -1,0 +1,122 @@
+"""End-to-end flagship pipeline: enrichment correctness, span integrity,
+salting, and resume-from-manifest (SURVEY.md §5 plan items b, c)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from geo_epic_ray.fixtures.documents import doc_num_of, documents_batch
+from geo_epic_ray.geo import extent
+from geo_epic_ray.state.manifest import Manifest, span_hash_of
+
+
+@pytest.fixture(scope="module")
+def enriched(ray_session, tmp_path_factory):
+    from geo_epic_ray.pipelines.flagship import run_flagship, synthetic_documents
+
+    out = str(tmp_path_factory.mktemp("flagship"))
+    docs = synthetic_documents(5000)
+    report = run_flagship(
+        docs, out, input_fingerprint="t-5000", skew=True, target_rows=400
+    )
+    return out, report
+
+
+def test_flagship_writes_all_docs_once(enriched):
+    out, report = enriched
+    assert report.rows.sum() == 5000
+    files = glob.glob(f"{out}/part=*/data.parquet")
+    assert len(files) == len(report)
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 5000
+
+
+def test_flagship_matches_oracles(enriched):
+    out, _ = enriched
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(glob.glob(f"{out}/part=*/data.parquet")).to_table()
+    ids = doc_num_of(t["doc_id"].to_numpy(zero_copy_only=False))
+    from geo_epic_ray.fixtures.documents import doc_point_skewed
+
+    lat, lon = doc_point_skewed(ids)
+    np.testing.assert_allclose(t["lat"].to_numpy(), lat)
+    np.testing.assert_array_equal(t["mukey"].to_numpy(), extent.soil_mukey_of(lat, lon))
+    np.testing.assert_array_equal(
+        t["grid_id"].to_numpy(), extent.weather_grid_of(lat, lon)
+    )
+    np.testing.assert_array_equal(t["tile_id"].to_numpy(), extent.tile_of(lat, lon))
+
+
+def test_flagship_preserves_span_sequences(enriched):
+    out, _ = enriched
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(glob.glob(f"{out}/part=*/data.parquet"))
+        .to_table(columns=["doc_id", "spans"])
+        .sort_by("doc_id")
+    )
+    ids = doc_num_of(t["doc_id"].to_numpy(zero_copy_only=False))
+    expected = documents_batch(ids)
+    got = [
+        [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row]
+        for row in t["spans"].to_pylist()
+    ]
+    exp = [
+        [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row]
+        for row in expected["spans"].to_pylist()
+    ]
+    assert got == exp
+
+
+def test_flagship_salts_hot_cells(enriched):
+    out, report = enriched
+    salted = report[report.part_key.str.contains("-s")]
+    assert len(salted) > 0, "hot cells should have been salted"
+    # every salted shard respects the target bound within salt granularity
+    assert salted.rows.max() <= 400 * 1.5
+
+
+def test_manifest_resume_skips_completed(ray_session, tmp_path):
+    from geo_epic_ray.pipelines.flagship import run_flagship, synthetic_documents
+
+    out = str(tmp_path / "resume")
+    docs = synthetic_documents(2000)
+    r1 = run_flagship(docs, out, input_fingerprint="fp-a", target_rows=10**9)
+    assert not r1.skipped.any()
+    # simulate a partial failure: delete one partition's manifest row
+    victim = r1.part_key.iloc[0]
+    os.remove(f"{out}/_manifest/part-{victim}.json")
+    r2 = run_flagship(docs, out, input_fingerprint="fp-a", target_rows=10**9)
+    assert set(r2[r2.skipped].part_key) == set(r1.part_key) - {victim}
+    assert set(r2[~r2.skipped].part_key) == {victim}
+    assert r2.rows.sum() == 2000
+    # changed input fingerprint -> everything recomputes
+    r3 = run_flagship(docs, out, input_fingerprint="fp-b", target_rows=10**9)
+    assert not r3.skipped.any()
+
+
+def test_manifest_span_hash_row_order_insensitive():
+    t = documents_batch(np.arange(50, dtype=np.int64))
+    h1 = span_hash_of(t)
+    perm = t.take(list(reversed(range(50))))
+    assert span_hash_of(perm) == h1
+    # changing one span changes the hash
+    t2 = documents_batch(np.arange(50, dtype=np.int64), seed=43)
+    assert span_hash_of(t2) != h1
+
+
+def test_manifest_partition_atomicity(tmp_path):
+    m = Manifest(str(tmp_path))
+    t = documents_batch(np.arange(10, dtype=np.int64))
+    rec = m.write_partition("k1", t, "fp")
+    assert rec.row_count == 10
+    saved = json.load(open(f"{tmp_path}/_manifest/part-k1.json"))
+    assert saved["span_hash"] == span_hash_of(t)
+    assert m.pending_keys(["k1", "k2"], "fp") == ["k2"]
+    assert m.pending_keys(["k1"], "other-fp") == ["k1"]
