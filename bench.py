@@ -1,0 +1,179 @@
+"""Benchmark harness.
+
+Headline: the flagship spatial pipeline (read parquet -> PIP soil join +
+kNN weather snap + tile assignment in a fused actor pool -> per-tile zonal
+aggregate) over a deterministic synthetic interleaved-doc corpus
+(generated once to /tmp and reused, so 8-CPU and 32-CPU runs see identical
+input and the page cache is warm).
+
+Also times every registered query against $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32)
+on the same input and reports throughput at both plus scaling efficiency
+(the sandbox evidence protocol for the N-vs-4N-nodes criterion,
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "64000000"))
+CORPUS_DIR = f"/tmp/graft_bench/docs_{N_DOCS}"
+
+
+def ensure_corpus():
+    """Generate the bench corpus once (untimed prep, reused across runs)."""
+    import ray
+    import ray.data  # noqa: F401
+
+    marker = os.path.join(CORPUS_DIR, "_done")
+    if os.path.exists(marker):
+        return
+    from geo_epic_ray.pipelines.flagship import synthetic_documents
+
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    # Many files + small row groups so reads split into enough blocks to
+    # feed every worker at any CPU count.
+    n_files = 256 if N_DOCS >= 32_000_000 else 128
+    synthetic_documents(N_DOCS, override_num_blocks=n_files).write_parquet(
+        CORPUS_DIR, min_rows_per_file=N_DOCS // n_files, row_group_size=16384
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_headline() -> dict:
+    """Steady-state throughput: one untimed warmup run (spawns the worker
+    processes and pages the corpus), then best wall time of 3 runs — the
+    sandbox is a shared host with high run-to-run variance, and the metric
+    of interest is sustained docs/sec, not process spin-up."""
+    import ray
+    import ray.data as rd
+
+    from geo_epic_ray.pipelines.flagship import default_concurrency, flagship_enrich
+    from geo_epic_ray.stages.aggregates import grouped_counts
+
+    def one_run() -> tuple[float, int]:
+        docs = rd.read_parquet(CORPUS_DIR, override_num_blocks=max(128, 8 * NUM_CPUS))
+        t0 = time.perf_counter()
+        enriched = flagship_enrich(docs, skew=True, batch_size=16384)
+        # partial combine per batch, then a 24-group shuffle of partials —
+        # never shuffle the spans payload or the raw rows
+        n_tiles = grouped_counts(enriched, "tile_id").count()
+        return time.perf_counter() - t0, n_tiles
+
+    one_run()  # warmup (worker spawn + page cache)
+    runs = [one_run() for _ in range(3)]
+    dt = min(r[0] for r in runs)
+    return {
+        "sec": dt,
+        "docs_per_sec": N_DOCS / dt,
+        "n_tiles": runs[0][1],
+        "all_runs_sec": [round(r[0], 3) for r in runs],
+    }
+
+
+def run_queries() -> dict[str, float]:
+    from geo_epic_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume: force execution without driver-side materialization of
+        # anything big
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
+
+def main():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_corpus()
+    headline = run_headline()
+    queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" else {}
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship PIP+kNN+tile enrich + zonal aggregate (synthetic interleaved corpus)",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "n_docs": N_DOCS,
+                "docs_per_sec": round(headline["docs_per_sec"], 1),
+                "all_runs_sec": headline["all_runs_sec"],
+            }
+        )
+    )
+
+
+def scaling():
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_QUERIES="0",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (fresh processes, same input)",
+                "cpus_small": lo,
+                "cpus_large": hi,
+                "sec_small": r_lo["value"],
+                "sec_large": r_hi["value"],
+                "docs_per_sec_small": r_lo["docs_per_sec"],
+                "docs_per_sec_large": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "n_docs": r_lo["n_docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

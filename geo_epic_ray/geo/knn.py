@@ -2,14 +2,21 @@
 
 Replaces the reference's in-RAM BallTree snap of sites to weather-grid
 cells (geoEpic/utils/raster_utils.py:16-30 find_nearest;
-geoEpic/weather/download_daily.py:128-143). The index buckets reference
-points into spatial cells; a query probes its own cell plus an expanding
-ring halo, guaranteeing exactness at bucket boundaries: a candidate set is
-only accepted once the nearest candidate is closer than the nearest
-unexplored ring could be.
+geoEpic/weather/main.py:18-26). Reference points are bucketed into spatial
+cells; for each *query cell* the index lazily materialises a candidate set
+that provably contains the nearest neighbor of EVERY point in that cell
+(rings expand until the closest unexplored ring — at least
+(R-1)*min_cell_width away — exceeds the worst-case best candidate
+d(center, nearest) + half the cell diagonal). Candidate sets are cached
+per cell, so a batch query is one BLAS matmul per occupied cell:
+points and candidates are embedded as unit vectors on the sphere and
+nearest-by-haversine == argmax of the dot product (monotone in central
+angle), with ties resolved to the lowest id by first-occurrence argmax
+over id-sorted candidates.
 
 Built once per actor in the kNN join stage's ``__init__`` from a broadcast
-grid table (ray.put once, not re-shipped per batch).
+grid table (ray.put once, not re-shipped per batch). Exactness is verified
+against brute-force haversine in tests/test_geo_kernels.py.
 """
 
 from __future__ import annotations
@@ -17,17 +24,36 @@ from __future__ import annotations
 import numpy as np
 
 from .extent import LAT0, LAT1, LON0, LON1
-from .haversine import haversine_km
+from .haversine import EARTH_RADIUS_KM, haversine_km
 
 _KM_PER_DEG_LAT = 111.19492664455873  # 6371 km * pi / 180
 
 
+def _sort_split(values: np.ndarray):
+    """Group indices by value: yields (value, index_array) pairs."""
+    order = np.argsort(values, kind="stable")
+    sv = values[order]
+    starts = np.nonzero(np.r_[True, np.diff(sv) != 0])[0]
+    ends = np.r_[starts[1:], sv.size]
+    for s, e in zip(starts, ends):
+        yield int(sv[s]), order[s:e]
+
+
+def _unit_xyz(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """(n, 3) unit vectors on the sphere."""
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    cp = np.cos(phi)
+    return np.column_stack([cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)])
+
+
 class KnnIndex:
     def __init__(self, gid: np.ndarray, glat: np.ndarray, glon: np.ndarray, res: int = 6):
-        order = np.argsort(gid, kind="stable")  # lowest-id-first for tie breaks
+        order = np.argsort(gid, kind="stable")  # ascending id == ascending index
         self.gid = np.asarray(gid, dtype=np.int64)[order]
         self.glat = np.asarray(glat, dtype=np.float64)[order]
         self.glon = np.asarray(glon, dtype=np.float64)[order]
+        self.gxyz = _unit_xyz(self.glat, self.glon)
         self.n = 1 << res
         self.res = res
         self.dlat = (LAT1 - LAT0) / self.n
@@ -35,13 +61,25 @@ class KnnIndex:
         row = np.clip(((self.glat - LAT0) / self.dlat).astype(np.int64), 0, self.n - 1)
         col = np.clip(((self.glon - LON0) / self.dlon).astype(np.int64), 0, self.n - 1)
         flat = row * self.n + col
-        self.buckets: dict[int, np.ndarray] = {
-            int(k): np.nonzero(flat == k)[0] for k in np.unique(flat)
-        }
+        self.buckets: dict[int, np.ndarray] = dict(_sort_split(flat))
+        self.min_cell_km = (
+            min(self.dlat, self.dlon * np.cos(np.radians(max(abs(LAT0), abs(LAT1)))))
+            * _KM_PER_DEG_LAT
+        )
+        self.half_diag_km = 0.5 * float(
+            haversine_km(
+                np.array([LAT0]), np.array([LON0]),
+                np.array([LAT0 + self.dlat]), np.array([LON0 + self.dlon]),
+            )[0]
+        )
+        self._cand_cache: dict[int, np.ndarray] = {}
+        # padded candidate matrix: one row per seen query cell, columns are
+        # id-sorted candidate indices, -1-padded at the end. Lets a whole
+        # batch resolve with one gather + einsum instead of a per-cell loop.
+        self._cm_keys = np.empty(0, dtype=np.int64)
+        self._cm: np.ndarray | None = None
 
-    def _candidates(self, row: int, col: int, ring: int) -> np.ndarray:
-        """Indices of reference points in the square ring at Chebyshev
-        distance ``ring`` around (row, col)."""
+    def _ring_members(self, row: int, col: int, ring: int) -> list[np.ndarray]:
         out = []
         for r in range(row - ring, row + ring + 1):
             if not 0 <= r < self.n:
@@ -49,63 +87,98 @@ class KnnIndex:
             cols = (
                 range(col - ring, col + ring + 1)
                 if r in (row - ring, row + ring)
-                else (col - ring, col + ring)
+                else ((col - ring, col + ring) if ring > 0 else ())
             )
             for c in cols:
                 if 0 <= c < self.n:
                     b = self.buckets.get(r * self.n + c)
                     if b is not None:
                         out.append(b)
-        if not out:
-            return np.empty(0, dtype=np.int64)
-        # ascending index == ascending gid (arrays were sorted by gid), so
-        # argmin's first-occurrence rule breaks ties to the lowest id.
-        return np.sort(np.concatenate(out))
+        return out
+
+    def _cell_candidates(self, cellkey: int) -> np.ndarray:
+        cached = self._cand_cache.get(cellkey)
+        if cached is not None:
+            return cached
+        row, col = cellkey // self.n, cellkey % self.n
+        clat = LAT0 + (row + 0.5) * self.dlat
+        clon = LON0 + (col + 0.5) * self.dlon
+        groups: list[np.ndarray] = []
+        if self.buckets.get(cellkey) is not None:
+            groups.append(self.buckets[cellkey])
+        ring = 0
+        d_center_best = np.inf
+        while True:
+            if ring > 0:
+                groups.extend(self._ring_members(row, col, ring))
+            if groups and not np.isfinite(d_center_best):
+                allc = np.concatenate(groups)
+                d_center_best = haversine_km(
+                    np.full(allc.size, clat), np.full(allc.size, clon),
+                    self.glat[allc], self.glon[allc],
+                ).min()
+            ring += 1
+            if np.isfinite(d_center_best) and (
+                (ring - 1) * self.min_cell_km * 0.999
+                >= d_center_best + self.half_diag_km
+            ):
+                break
+            if ring > 2 * self.n:
+                break
+        cand = (
+            np.sort(np.concatenate(groups)) if groups else np.empty(0, dtype=np.int64)
+        )
+        self._cand_cache[cellkey] = cand
+        return cand
+
+    def _cand_matrix_rows(self, cellkeys: np.ndarray) -> np.ndarray:
+        """Row index into the padded candidate matrix per cell key,
+        building rows for unseen cells."""
+        new = np.setdiff1d(np.unique(cellkeys), self._cm_keys, assume_unique=False)
+        if new.size:
+            cands = [self._cell_candidates(int(c)) for c in new]
+            width = max((c.size for c in cands), default=0)
+            if self._cm is not None:
+                width = max(width, self._cm.shape[1])
+            block = np.full((new.size, width), -1, dtype=np.int64)
+            for i, c in enumerate(cands):
+                block[i, : c.size] = c
+            if self._cm is None:
+                self._cm_keys, self._cm = new, block
+            else:
+                old = self._cm
+                if old.shape[1] < width:
+                    old = np.pad(old, ((0, 0), (0, width - old.shape[1])), constant_values=-1)
+                keys = np.concatenate([self._cm_keys, new])
+                order = np.argsort(keys, kind="stable")
+                self._cm_keys = keys[order]
+                self._cm = np.vstack([old, block])[order]
+        return np.searchsorted(self._cm_keys, cellkeys)
 
     def query(self, qlat: np.ndarray, qlon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Nearest reference id + distance (km) per query point. Exact."""
+        """Nearest reference id + distance (km) per query point. Exact;
+        ties break to the lowest id (candidate rows are id-sorted and
+        argmax takes the first occurrence)."""
         nq = qlat.shape[0]
         out_id = np.full(nq, -1, dtype=np.int64)
         out_d = np.full(nq, np.inf, dtype=np.float64)
+        if nq == 0 or self.gid.size == 0:
+            return out_id, out_d
+        qxyz = _unit_xyz(qlat, qlon)
         rows = np.clip(((qlat - LAT0) / self.dlat).astype(np.int64), 0, self.n - 1)
         cols = np.clip(((qlon - LON0) / self.dlon).astype(np.int64), 0, self.n - 1)
         flat = rows * self.n + cols
-        min_cell_km = min(self.dlat, self.dlon * np.cos(np.radians(LAT1))) * _KM_PER_DEG_LAT
-        for cellv in np.unique(flat):
-            sel = np.nonzero(flat == cellv)[0]
-            row, col = int(cellv) // self.n, int(cellv) % self.n
-            cand = np.empty(0, dtype=np.int64)
-            best_d = np.full(sel.shape[0], np.inf)
-            best_i = np.full(sel.shape[0], -1, dtype=np.int64)
-            ring = 0
-            while True:
-                new = self._candidates(row, col, ring)
-                if new.size:
-                    d = haversine_km(
-                        qlat[sel][:, None],
-                        qlon[sel][:, None],
-                        self.glat[new][None, :],
-                        self.glon[new][None, :],
-                    )
-                    j = np.argmin(d, axis=1)  # first (lowest-id) min wins
-                    dj = d[np.arange(sel.shape[0]), j]
-                    upd = dj < best_d
-                    # On exact distance ties across rings prefer lowest id:
-                    tie = (dj == best_d) & (best_i >= 0) & (new[j] < best_i)
-                    upd |= tie
-                    best_d = np.where(upd, dj, best_d)
-                    best_i = np.where(upd, new[j], best_i)
-                    cand = new
-                # A result is final when the closest possible point in the
-                # next unexplored ring (>= (ring-1) cell widths away, with a
-                # conservative km-per-degree floor) is farther than the
-                # current best.
-                ring += 1
-                guaranteed = (ring - 1) * min_cell_km * 0.99
-                if (best_i >= 0).all() and (best_d <= guaranteed).all():
-                    break
-                if ring > 2 * self.n:  # degenerate: empty index region
-                    break
-            out_id[sel] = np.where(best_i >= 0, self.gid[np.maximum(best_i, 0)], -1)
-            out_d[sel] = best_d
+        cm_rows = self._cand_matrix_rows(flat)  # builds self._cm as needed
+        cm = self._cm[cm_rows]  # (n, K) candidate idx
+        valid = cm >= 0
+        g = self.gxyz[np.maximum(cm, 0)]  # (n, K, 3)
+        dots = np.einsum("nd,nkd->nk", qxyz, g)
+        dots[~valid] = -2.0
+        j = np.argmax(dots, axis=1)
+        rng = np.arange(nq)
+        idx = cm[rng, j]
+        ok = idx >= 0
+        out_id[ok] = self.gid[idx[ok]]
+        best = np.clip(dots[rng, j], -1.0, 1.0)
+        out_d[ok] = EARTH_RADIUS_KM * np.arccos(best[ok])
         return out_id, out_d

@@ -8,9 +8,16 @@ join against polygon shards, bucketed by spatial cell so a probe only
 tests the handful of polygons whose bbox touches the point's cell —
 the distributable analogue of holding the whole soil raster in RAM.
 
-Semantics: even-odd rule; points exactly on an edge are implementation-
-defined (fixture points are hash-derived, measure-zero). Holes supported
-(any ring crossing counts).
+Hot path: candidate (point, polygon) pairs come from a padded
+cell→polygon matrix (no per-cell Python loop); pairs are evaluated with
+the even-odd rule vectorized over all pairs at once, grouped by polygon
+vertex count; overlapping containment resolves to the LOWEST key
+(deterministic spec — the reference's raster lookup cannot overlap).
+
+Semantics: even-odd rule; points exactly on a vertical edge fall to the
+polygon on their right, on a horizontal edge to the polygon above —
+consistent with floor()-grid semantics (verified in tests). Holes
+supported (any ring crossing toggles).
 """
 
 from __future__ import annotations
@@ -21,11 +28,7 @@ from .cells import cell_of, cells_overlapping_bbox
 
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Even-odd crossing test of points (px=lon, py=lat) vs one closed ring.
-
-    Vectorized over points; loops over edges (polygon vertex counts are
-    small compared to batch sizes).
-    """
+    """Even-odd crossing test of points (px=lon, py=lat) vs one closed ring."""
     inside = np.zeros(px.shape[0], dtype=bool)
     x0, y0 = ring[:-1, 0], ring[:-1, 1]
     x1, y1 = ring[1:, 0], ring[1:, 1]
@@ -69,27 +72,88 @@ class PolygonIndex:
                 ext[:, 1].min(), ext[:, 1].max(), ext[:, 0].min(), ext[:, 0].max(), res
             ):
                 buckets.setdefault(int(c), []).append(i)
-        # Deterministic probe order: ascending key within a bucket so that
-        # overlapping polygons resolve to the lowest key (engine spec;
-        # the reference's raster lookup cannot overlap).
-        self.buckets = {
-            c: sorted(ix, key=lambda i: (self.keys[i], i)) for c, ix in buckets.items()
+        # padded cell -> polygon matrix (sorted cell keys for searchsorted)
+        self._bkeys = np.array(sorted(buckets), dtype=np.int64)
+        maxp = max((len(v) for v in buckets.values()), default=0)
+        self._bmat = np.full((self._bkeys.size, maxp), -1, dtype=np.int64)
+        for r, c in enumerate(self._bkeys):
+            v = buckets[int(c)]
+            self._bmat[r, : len(v)] = v
+        # group single-ring polygons by vertex count for batched evaluation;
+        # polygons with holes take the general per-polygon path
+        self._vc_groups: dict[int, np.ndarray] = {}
+        self._general: list[int] = []
+        by_vc: dict[int, list[int]] = {}
+        for i, rings in enumerate(polygons):
+            if len(rings) == 1:
+                by_vc.setdefault(rings[0].shape[0], []).append(i)
+            else:
+                self._general.append(i)
+        self._ring_stack: dict[int, np.ndarray] = {
+            vc: np.stack([polygons[i][0] for i in ix])
+            for vc, ix in by_vc.items()
         }
+        for vc, ix in by_vc.items():
+            self._vc_groups[vc] = np.asarray(ix, dtype=np.int64)
+        # position of polygon i inside its vc stack
+        self._pos_in_stack = np.full(len(polygons), -1, dtype=np.int64)
+        for vc, ix in self._vc_groups.items():
+            self._pos_in_stack[ix] = np.arange(ix.size)
+        self._vc_of = np.full(len(polygons), -1, dtype=np.int64)
+        for vc, ix in self._vc_groups.items():
+            self._vc_of[ix] = vc
 
     def lookup(self, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
         """Containing polygon key per point; -1 when none contains it."""
-        out = np.full(lat.shape[0], -1, dtype=np.int64)
+        n = lat.shape[0]
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
         cells = cell_of(lat, lon, self.res)
-        for c in np.unique(cells):
-            sel = np.nonzero(cells == c)[0]
-            cand = self.buckets.get(int(c))
-            if not cand:
-                continue
-            unresolved = sel
-            for i in cand:
-                if unresolved.size == 0:
-                    break
-                hit = point_in_polygon(lon[unresolved], lat[unresolved], self.polygons[i])
-                out[unresolved[hit]] = self.keys[i]
-                unresolved = unresolved[~hit]
+        rows = np.searchsorted(self._bkeys, cells)
+        rows_ok = (rows < self._bkeys.size) & (
+            self._bkeys[np.minimum(rows, self._bkeys.size - 1)] == cells
+        )
+        # candidate pairs via the padded matrix: K small (bbox overlap count)
+        pair_pt: list[np.ndarray] = []
+        pair_poly: list[np.ndarray] = []
+        rr = np.where(rows_ok, rows, 0)
+        for k in range(self._bmat.shape[1]):
+            pk = np.where(rows_ok, self._bmat[rr, k], -1)
+            sel = np.nonzero(pk >= 0)[0]
+            if sel.size:
+                pair_pt.append(sel)
+                pair_poly.append(pk[sel])
+        best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        if pair_pt:
+            ppt = np.concatenate(pair_pt)
+            ppo = np.concatenate(pair_poly)
+            # batched even-odd per vertex-count group
+            for vc, stack in self._ring_stack.items():
+                m = self._vc_of[ppo] == vc
+                if not m.any():
+                    continue
+                pts = ppt[m]
+                pos = self._pos_in_stack[ppo[m]]
+                px, py = lon[pts], lat[pts]
+                inside = np.zeros(pts.size, dtype=bool)
+                for e in range(vc - 1):
+                    xa, ya = stack[pos, e, 0], stack[pos, e, 1]
+                    xb, yb = stack[pos, e + 1, 0], stack[pos, e + 1, 1]
+                    crosses = (ya > py) != (yb > py)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xint = xa + (py - ya) * (xb - xa) / (yb - ya)
+                    inside ^= crosses & (px < xint)
+                hit = np.nonzero(inside)[0]
+                if hit.size:
+                    np.minimum.at(best, pts[hit], self.keys[ppo[m][hit]])
+            # general path (holes): per-polygon
+            if self._general:
+                gset = set(self._general)
+                gm = np.array([p in gset for p in ppo])
+                for i in np.unique(ppo[gm]):
+                    pts = ppt[gm & (ppo == i)]
+                    hit = point_in_polygon(lon[pts], lat[pts], self.polygons[i])
+                    if hit.any():
+                        np.minimum.at(best, pts[hit], np.full(int(hit.sum()), self.keys[i]))
+        out = np.where(best == np.iinfo(np.int64).max, -1, best)
         return out

@@ -48,6 +48,18 @@ def load_documents(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+_SIDE_REFS = None
+
+
+def _side_table_refs():
+    """Broadcast the soil/grid side tables ONCE per driver process — stable
+    ObjectRefs keep the per-worker index cache valid across executions."""
+    global _SIDE_REFS
+    if _SIDE_REFS is None:
+        _SIDE_REFS = (ray.put(soil_polygons_table()), ray.put(weather_grid_table()))
+    return _SIDE_REFS
+
+
 def default_concurrency() -> int:
     """Actor-pool size that leaves headroom for the read/write task stages —
     a pool that reserves every CPU starves the task operators and the
@@ -65,24 +77,48 @@ def flagship_enrich(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 16384,
     prefix_res: int = 3,
+    use_actors: bool = False,
 ) -> rd.Dataset:
-    """point + cell + PIP + kNN + tile over any docs Dataset (lazy)."""
-    if concurrency is None:
-        concurrency = default_concurrency()
-    soil_ref = ray.put(soil_polygons_table())
-    grid_ref = ray.put(weather_grid_table())
+    """point + cell + PIP + kNN + tile over any docs Dataset (lazy).
+
+    Default execution: stateless tasks with per-worker-process index cache
+    (state.worker_cache) — same build-once semantics as an actor pool but
+    reuses Ray's pre-started workers across executions and lets the
+    scheduler fill every free CPU. ``use_actors=True`` switches to a fixed
+    ``map_batches(SpatialEnrich, concurrency=N)`` actor pool (the right
+    choice when per-worker state must NOT be shared across pipelines, or
+    needs explicit pool sizing).
+    """
+    soil_ref, grid_ref = _side_table_refs()
+
+    def derive_and_cells(batch: pa.Table) -> pa.Table:
+        return encode_cells(
+            derive_points(batch, skew=skew, seed=seed), prefix_res=prefix_res
+        )
+
+    # zero-copy Arrow all the way — no defensive batch copies of spans
     ds = docs.map_batches(
-        derive_points, batch_format="pyarrow", fn_kwargs={"skew": skew, "seed": seed}
+        derive_and_cells, batch_format="pyarrow", zero_copy_batch=True
     )
-    ds = ds.map_batches(
-        encode_cells, batch_format="pyarrow", fn_kwargs={"prefix_res": prefix_res}
-    )
+    if use_actors:
+        if concurrency is None:
+            concurrency = default_concurrency()
+        return ds.map_batches(
+            SpatialEnrich,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_args=(soil_ref, grid_ref),
+        )
+    from ..stages.spatial import spatial_enrich_fn
+
     return ds.map_batches(
-        SpatialEnrich,
+        spatial_enrich_fn,
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_args=(soil_ref, grid_ref),
+        fn_kwargs={"soil_ref": soil_ref, "grid_ref": grid_ref},
     )
 
 

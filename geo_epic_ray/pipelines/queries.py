@@ -47,22 +47,57 @@ def _docs(sf_dir: str) -> rd.Dataset:
 
 # SQL fragments reused by the geo oracles.
 _LAT, _LON = doc_point_sql("doc_id")
-_MUKEY_SQL = (
-    f"(CAST(floor(({_LAT} - {extent.LAT0}) / {extent.SOIL_CELL_DEG}) AS BIGINT)"
-    f" * {extent.SOIL_NCOLS}"
-    f" + CAST(floor(({_LON} - {extent.LON0}) / {extent.SOIL_CELL_DEG}) AS BIGINT))"
-)
-_GRID_SQL = (
-    f"(CAST(floor(({_LAT} - {extent.LAT0}) / {extent.WEATHER_STEP_DEG} + 0.5) AS BIGINT)"
-    f" * {extent.WEATHER_NCOLS}"
-    f" + CAST(floor(({_LON} - {extent.LON0}) / {extent.WEATHER_STEP_DEG} + 0.5) AS BIGINT))"
-)
-_TILE_SQL = (
-    f"((CAST(floor(({_LAT} - {extent.LAT0}) / {extent.PIXEL_DEG}) AS BIGINT)"
-    f" // {extent.TILE_PX}) * {extent.N_TILE_COLS}"
-    f" + (CAST(floor(({_LON} - {extent.LON0}) / {extent.PIXEL_DEG}) AS BIGINT)"
-    f" // {extent.TILE_PX}))"
-)
+
+
+def _mukey_sql(lat: str, lon: str) -> str:
+    return (
+        f"(CAST(floor(({lat} - {extent.LAT0}) / {extent.SOIL_CELL_DEG}) AS BIGINT)"
+        f" * {extent.SOIL_NCOLS}"
+        f" + CAST(floor(({lon} - {extent.LON0}) / {extent.SOIL_CELL_DEG}) AS BIGINT))"
+    )
+
+
+def _tile_sql(lat: str, lon: str) -> str:
+    return (
+        f"((CAST(floor(({lat} - {extent.LAT0}) / {extent.PIXEL_DEG}) AS BIGINT)"
+        f" // {extent.TILE_PX}) * {extent.N_TILE_COLS}"
+        f" + (CAST(floor(({lon} - {extent.LON0}) / {extent.PIXEL_DEG}) AS BIGINT)"
+        f" // {extent.TILE_PX}))"
+    )
+
+
+_MUKEY_SQL = _mukey_sql(_LAT, _LON)
+def _grid_knn_cte() -> str:
+    """Exact kNN oracle as SQL: the true haversine argmin over the 4
+    surrounding lattice points (provably sufficient on a regular lattice —
+    the cos(lat) weighting can shift the choice between adjacent rows but
+    never by more than one row), ties to the lowest grid_id. A plain
+    per-axis round() differs from true haversine for ~1/65k points near
+    latitude midpoints, which the engine (correctly) resolves by distance.
+    Distances are compared via the monotonic squared-chord term, matching
+    the engine's argmin ordering."""
+    s = extent.WEATHER_STEP_DEG
+    nrows, ncols = extent.WEATHER_NROWS, extent.WEATHER_NCOLS
+    return f"""
+pts AS (SELECT doc_id, {_LAT} AS qlat, {_LON} AS qlon FROM documents),
+knn_cand AS (
+  SELECT doc_id, qlat, qlon,
+         least(greatest(CAST(floor((qlat - {extent.LAT0}) / {s}) AS BIGINT) + dr.d, 0), {nrows - 1}) AS r,
+         least(greatest(CAST(floor((qlon - {extent.LON0}) / {s}) AS BIGINT) + dc.d, 0), {ncols - 1}) AS c
+  FROM pts, (SELECT unnest([0, 1]) AS d) dr, (SELECT unnest([0, 1]) AS d) dc
+),
+knn_pick AS (
+  SELECT doc_id, r * {ncols} + c AS grid_id,
+         pow(sin(radians(qlat - ({extent.LAT0} + r * {s})) / 2), 2)
+         + cos(radians(qlat)) * cos(radians({extent.LAT0} + r * {s}))
+           * pow(sin(radians(qlon - ({extent.LON0} + c * {s})) / 2), 2) AS chord
+  FROM knn_cand
+),
+knn AS (
+  SELECT doc_id, grid_id FROM knn_pick
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY chord, grid_id) = 1
+)"""
+_TILE_SQL = _tile_sql(_LAT, _LON)
 
 
 def _enriched(sf_dir: str) -> rd.Dataset:
@@ -89,7 +124,7 @@ def geo_pip_soil(sf_dir: str):
 
 @register(
     "geo_knn_weather",
-    f"SELECT doc_id, {_GRID_SQL} AS grid_id FROM documents",
+    f"WITH {_grid_knn_cte()} SELECT doc_id, grid_id FROM knn",
 )
 def geo_knn_weather(sf_dir: str):
     return _enriched(sf_dir).select_columns(["doc_id", "grid_id"])
@@ -109,10 +144,15 @@ def geo_tile_assign(sf_dir: str):
 # --- flagship: all three joins at once --------------------------------------
 
 
+_LAT_D, _LON_D = doc_point_sql("d.doc_id")
+
+
 @register(
     "geo_enrich_full",
-    f"SELECT doc_id, {_MUKEY_SQL} AS mukey, {_GRID_SQL} AS grid_id,"
-    f" {_TILE_SQL} AS tile_id FROM documents",
+    f"WITH {_grid_knn_cte()} "
+    f"SELECT d.doc_id, {_mukey_sql(_LAT_D, _LON_D)} AS mukey, knn.grid_id,"
+    f" {_tile_sql(_LAT_D, _LON_D)} AS tile_id"
+    f" FROM documents d JOIN knn ON d.doc_id = knn.doc_id",
 )
 def geo_enrich_full(sf_dir: str):
     return _enriched(sf_dir).select_columns(["doc_id", "mukey", "grid_id", "tile_id"])

@@ -1,0 +1,110 @@
+"""Dedup family + text analysis + similarity search (training-data ops)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_epic_ray.stages.dedup import (band_hashes, jaccard,
+                                       minhash_signatures, simhash64)
+from geo_epic_ray.stages.profile_ops import (calc_num_seasons,
+                                             find_peaks_simple,
+                                             gaussian_filter1d,
+                                             remove_outliers_and_interpolate,
+                                             savgol, smooth_series)
+from geo_epic_ray.stages.text import lang_id_batch
+
+
+def test_minhash_similar_docs_share_more_signature():
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = "the quick brown fox jumps over the lazy dog near the river bend"
+    c = "completely different content about soil moisture and corn yields"
+    sig = minhash_signatures([a, b, c], num_perm=128)
+    sim_ab = (sig[0] == sig[1]).mean()
+    sim_ac = (sig[0] == sig[2]).mean()
+    assert sim_ab > 0.5 > sim_ac
+    # minhash agreement approximates true jaccard
+    assert abs(sim_ab - jaccard(a, b)) < 0.2
+
+
+def test_minhash_deterministic_and_batch_independent():
+    texts = [f"document number {i} with shared words" for i in range(20)]
+    s1 = minhash_signatures(texts)
+    s2 = np.vstack([minhash_signatures(texts[:7]), minhash_signatures(texts[7:])])
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_band_hashes_equal_for_equal_docs():
+    sig = minhash_signatures(["same text here", "same text here", "other"], num_perm=64)
+    bh = band_hashes(sig, bands=16)
+    np.testing.assert_array_equal(bh[0], bh[1])
+    assert (bh[0] != bh[2]).any()
+
+
+def test_simhash_near_duplicates_close_in_hamming():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    c = "numpy arrow parquet shuffle partition actor cluster"
+    h = simhash64([a, b, c])
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    # deterministic across calls
+    np.testing.assert_array_equal(h, simhash64([a, b, c]))
+
+
+def test_lang_id_heuristic():
+    out = lang_id_batch(pd.Series([
+        "the cat and the dog sat in a corner of the room",
+        "der Hund und die Katze ist nicht in das Haus",
+        "el perro y la gata es un animal en la casa",
+        "le chien est un animal et le chat est une bête pour la maison",
+        "",
+    ]))
+    assert list(out.lang_pred[:4]) == ["en", "de", "es", "fr"]
+    assert out.lang_pred[4] == "und"
+
+
+def test_savgol_matches_polynomial_invariance():
+    # a quadratic is reproduced exactly by savgol with polyorder 2
+    x = np.arange(20, dtype=float)
+    y = 3 + 2 * x + 0.5 * x * x
+    np.testing.assert_allclose(savgol(y, 7, 2), y, rtol=1e-10)
+
+
+def test_gaussian_filter_preserves_constant_and_mass():
+    y = np.full(50, 7.0)
+    np.testing.assert_allclose(gaussian_filter1d(y, 2.0), y)
+
+
+def test_outlier_removal_median():
+    days = pd.date_range("2020-01-01", periods=60)
+    v = np.sin(np.arange(60) / 9.0) + 1.0
+    v[30] = 50.0  # outlier
+    df = pd.DataFrame({"Date": days, "NDVI": v})
+    out = remove_outliers_and_interpolate(df, "NDVI", method="median")
+    assert out["NDVI"].max() < 5.0
+    assert not out["NDVI"].isna().any()
+
+
+def test_find_peaks_height_and_distance():
+    y = np.zeros(100)
+    y[10] = 5.0
+    y[14] = 4.0  # within distance of the higher peak -> dropped
+    y[60] = 6.0
+    peaks = find_peaks_simple(y, height=3.0, distance=10)
+    assert list(peaks) == [10, 60]
+
+
+def test_calc_num_seasons_two_humps():
+    days = pd.date_range("2020-01-01", periods=120)
+    x = np.arange(120)
+    y = np.exp(-((x - 30) ** 2) / 50) + np.exp(-((x - 90) ** 2) / 50)
+    df = pd.DataFrame({"date": days, "ndvi": y})
+    assert calc_num_seasons(df, "ndvi") == 2
+
+
+def test_smooth_series_savgol_column():
+    days = pd.date_range("2020-01-01", periods=30)
+    df = pd.DataFrame({"date": days, "ndvi": np.random.default_rng(0).normal(1, 0.1, 30)})
+    out = smooth_series(df, "ndvi", method="savitsky", window_length=5, polyorder=2)
+    assert "ndvi_smoothed" in out.columns
+    assert out["ndvi_smoothed"].std() <= df["ndvi"].std()

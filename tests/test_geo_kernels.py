@@ -76,17 +76,25 @@ def test_knn_index_exact_vs_brute_force():
     got_id, got_d = idx.query(qlat, qlon)
     exp_id, exp_d = brute_force_knn(qlat, qlon, glat, glon, gid, k=1)
     np.testing.assert_array_equal(got_id, exp_id[:, 0])
-    np.testing.assert_allclose(got_d, exp_d[:, 0], rtol=1e-12)
+    # arccos-of-dot vs arcsin-haversine agree to well under a millimeter
+    np.testing.assert_allclose(got_d, exp_d[:, 0], atol=1e-6)
 
 
-def test_knn_lattice_equals_round_rule():
+def test_knn_lattice_exact_and_round_rule_agreement():
     from geo_epic_ray.fixtures.weather import weather_grid_table
 
     wg = weather_grid_table()
-    idx = KnnIndex(wg["grid_id"].to_numpy(), wg["lat"].to_numpy(), wg["lon"].to_numpy())
+    gid = wg["grid_id"].to_numpy()
+    glat, glon = wg["lat"].to_numpy(), wg["lon"].to_numpy()
+    idx = KnnIndex(gid, glat, glon)
     lat, lon = extent.doc_point(np.arange(2000, dtype=np.int64))
     got, _ = idx.query(lat, lon)
-    np.testing.assert_array_equal(got, extent.weather_grid_of(lat, lon))
+    exp, _ = brute_force_knn(lat, lon, glat, glon, gid, k=1)
+    np.testing.assert_array_equal(got, exp[:, 0])
+    # the per-axis round shortcut agrees except for rare latitude-midpoint
+    # points where haversine's cos(lat) weighting flips the row choice
+    agree = (got == extent.weather_grid_of(lat, lon)).mean()
+    assert agree > 0.999
 
 
 def test_cells_parent_prefix_and_bounds():
