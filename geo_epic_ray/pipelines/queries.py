@@ -578,3 +578,7 @@ def text_quality(sf_dir: str):
         )
 
     return ds.map_batches(q, batch_format="pandas")
+
+
+# load part 2 of the registry (registers into the same dicts)
+from . import queries_ext as _queries_ext  # noqa: E402,F401

@@ -1,0 +1,448 @@
+"""Query registry, part 2: A1 monthly climate statistics, windowed
+aggregates, broadcast joins, distinct, fingerprint dedup, token
+histograms, ANN search, and the engine-only (rows-only-checked) pipelines
+for near-dedup / fingerprints / schedule transforms / validators.
+
+Registered into the same QUERIES/ORACLES dicts as pipelines.queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..stages.climate import DAYS_IN_MONTH, INP_COLUMNS, monthly_climate_stats
+from .queries import register
+
+# --- A1: the reference's daily->monthly INP statistics, applied to a
+# pseudo-weather table derived from events ----------------------------------
+
+_DIM_CASE = "CASE month " + " ".join(
+    f"WHEN {m + 1} THEN {d}" for m, d in enumerate(DAYS_IN_MONTH)
+) + " END"
+
+_MONTHLY_SQL = f"""
+WITH daily0 AS (
+  SELECT event_type, (user_id % 12) + 1 AS month, day(ts) AS day,
+         value * 0.05 AS srad, value * 0.2 AS tmax, value * 0.2 - 10 AS tmin,
+         greatest(value - 400, 0) * 0.1 AS prcp,
+         row_number() OVER (PARTITION BY event_type, (user_id % 12) + 1, day(ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+daily AS (SELECT * FROM daily0 WHERE rn = 1),
+lagd AS (
+  SELECT *, lag(prcp > 0.5, 1, false)
+              OVER (PARTITION BY event_type, month ORDER BY day) AS prev_wet
+  FROM daily
+),
+monthly AS (
+  SELECT event_type, month,
+    avg(tmax) AS obmx, avg(tmin) AS obmn,
+    stddev_samp(tmax) AS sdtmx, stddev_samp(tmin) AS sdtmn,
+    avg(prcp) * ({_DIM_CASE}) AS rmo,
+    stddev_samp(prcp) AS rst2,
+    sum(CASE WHEN prcp > 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*) AS dayp,
+    sum(CASE WHEN prev_wet AND prcp > 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*) AS prw2,
+    avg(srad) AS obsl
+  FROM lagd GROUP BY event_type, month
+)
+SELECT event_type, month,
+  round(obmx, 6) AS OBMX, round(obmn, 6) AS OBMN,
+  round(sdtmx, 6) AS SDTMX, round(sdtmn, 6) AS SDTMN,
+  round(rmo, 6) AS RMO, round(rst2, 6) AS RST2,
+  round(3 * abs(rmo - median(rmo) OVER (PARTITION BY event_type)) / rst2, 6) AS RST3,
+  0.0 AS PRW1, round(prw2, 6) AS PRW2, round(dayp, 6) AS DAYP, 0.0 AS WI,
+  round(obsl, 6) AS OBSL, 0.5 AS RH, 3.5 AS UAVO
+FROM monthly
+"""
+
+
+@register("monthly_climate_stats", _MONTHLY_SQL)
+def monthly_climate_stats_q(sf_dir: str):
+    """The reference's to_monthly aggregation (geoEpic/io/inputs.py:293-319)
+    over a pseudo-weather table: site = event_type, month = user_id % 12 + 1.
+    Exercises the exact same code path used for real weather tables
+    (stages.climate.monthly_climate_stats), including the bug-compatible
+    PRW1 == 0."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "ts", "value"],
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b.event_type,
+                "year": np.int32(2024),
+                "month": (b.user_id % 12 + 1).astype("int32"),
+                "day": b.ts.dt.day.astype("int32"),
+                "srad": b.value * 0.05,
+                "tmax": b.value * 0.2,
+                "tmin": b.value * 0.2 - 10,
+                "prcp": np.maximum(b.value - 400, 0) * 0.1,
+                "rh": 0.5,
+                "ws": 3.5,
+                "ts": b.ts,
+                "event_id": b.event_id,
+            }
+        )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        out = monthly_climate_stats(g, keep=["event_type"])
+        for c in INP_COLUMNS:
+            out[c] = out[c].astype(float).round(6)
+        out["RH"] = 0.5
+        out["UAVO"] = 3.5
+        out["PRW1"] = 0.0
+        out["WI"] = 0.0
+        return out[["event_type", "month"] + INP_COLUMNS]
+
+    return (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(stats, batch_format="pandas")
+    )
+
+
+# --- streaming-shaped: tumbling-window aggregate ----------------------------
+
+
+@register(
+    "tumbling_window_agg",
+    """
+    SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(sf_dir: str):
+    """Tumbling 1-hour windows per user — the engine's restatement of
+    stream windowing (SURVEY.md §2.9: Ray Data has no event-time windows;
+    windows become grouped aggregation on floor(ts/size))."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def win(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.floor(b.ts.astype("int64") / 1e6 / 3600).astype("int64")
+        g = (
+            b.assign(win=w, one=1)
+            .groupby(["user_id", "win"], as_index=False)
+            .agg(n_events=("one", "sum"), sum_value=("value", "sum"))
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(win, batch_format="pandas")
+        .groupby(["user_id", "win"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b.sum_value.round(4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- J7-style broadcast hash join + aggregate -------------------------------
+
+
+@register(
+    "broadcast_join_orders",
+    """
+    SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n,
+           round(avg(o.o_totalprice), 6) AS avg_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def broadcast_join_orders(sf_dir: str):
+    from ..stages.joins import BroadcastJoin
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    joined = orders.map_batches(
+        BroadcastJoin, batch_format="pandas", concurrency=2,
+        fn_constructor_args=(ref, "o_custkey", "inner"),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.assign(one=1)
+            .groupby(["c_mktsegment", "o_orderpriority"], as_index=False)
+            .agg(n=("one", "sum"), sum_price=("o_totalprice", "sum"))
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price"))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["avg_price"] = (b.sum_price / b.n).round(6)
+        return b.drop(columns=["sum_price"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- distinct (§2.7) --------------------------------------------------------
+
+
+@register(
+    "distinct_lang_source",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def distinct_lang_source(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b["k"] = b.lang + "\x1f" + b.source
+        return b
+
+    return (
+        ds.map_batches(key, batch_format="pandas")
+        .groupby("k")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["k"])
+    )
+
+
+# --- fingerprint-based exact dedup (text stage + dedup §2.7) ----------------
+
+
+@register(
+    "dedup_by_fingerprint",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def dedup_by_fingerprint(sf_dir: str):
+    """Exact dedup keyed on the 64-bit content fingerprint — equals
+    dedup-by-text when fingerprints are collision-free (64-bit, ~500 docs:
+    collision probability ~1e-14), which the text-groupby oracle checks."""
+    from ..stages.text import fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fp = fingerprints(ds)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [g.doc_id.min()]})
+
+    return fp.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
+
+
+# --- token histogram (text analysis at scale: flat_map + combine) -----------
+
+
+@register(
+    "token_histogram",
+    """
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ) GROUP BY tok HAVING count(*) >= 50
+    """,
+)
+def token_histogram(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode_count(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.text.str.split(" ").explode()
+        g = toks.groupby(toks).size()
+        return pd.DataFrame({"tok": g.index, "partial": g.values})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(explode_count, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: b[b.n >= 50], batch_format="pandas"
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+
+@register(
+    "ann_topk_cosine",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(row_number() OVER (
+             ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
+                      vec_id) AS BIGINT) AS rank
+    FROM embeddings WHERE vec_id != 0
+    QUALIFY rank <= 10
+    """,
+)
+def ann_topk_cosine(sf_dir: str):
+    """Exact brute-force cosine top-10 neighbors of vec 0 — numpy matmul
+    per batch against the broadcast query, grouped top-k merge."""
+    from ..stages.similarity import ann_topk
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack(emb.loc[emb.vec_id == 0, "embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_topk(ds, q, k=10, exclude_ids=np.array([0]))
+    return out.select_columns(["vec_id", "rank"])
+
+
+@register("ivf_topk_cosine")  # approximate by construction -> rows-only check
+def ivf_topk_cosine(sf_dir: str):
+    from ..stages.similarity import ann_topk, ivf_topk, train_ivf_centroids
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy())
+    q = mat[:1]
+    cents = train_ivf_centroids(mat[:: max(1, len(mat) // 256)], n_centroids=8)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, cents, k=10, nprobe=3)
+
+
+# --- engine-only pipelines (rows-only checks) -------------------------------
+
+
+@register("minhash_lsh_pairs")
+def minhash_lsh_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates over the documents table, verified
+    with exact Jaccard >= 0.5 (low threshold so the pipeline always has
+    work at gate scale)."""
+    from ..stages.dedup import minhash_dedup_pairs
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lookup = dict(zip(docs.doc_id, docs.text))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, lookup, threshold=0.5, num_perm=64, bands=16)
+
+
+@register("simhash_fingerprints")
+def simhash_fp_q(sf_dir: str):
+    from ..stages.dedup import simhash_fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_fingerprints(ds)
+
+
+@register("embedding_dup_pairs")
+def embedding_dup_pairs_q(sf_dir: str):
+    from ..stages.dedup import embedding_dup_pairs
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(
+        ds, threshold=0.5, ref_matrix=mat, ref_ids=emb.vec_id.to_numpy()
+    )
+
+
+@register("lang_id_scores")
+def lang_id_scores(sf_dir: str):
+    from ..stages.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+@register("quality_scores")
+def quality_scores_q(sf_dir: str):
+    from ..stages.text import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(ds).select_columns(
+        ["doc_id", "n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio"]
+    )
+
+
+@register("opc_phu_update")
+def opc_phu_update(sf_dir: str):
+    """Schedule PHU update over deterministic fixtures (A6/M9): the OPC
+    transform + per-rotation heat-unit accumulation from daily weather.
+    Non-SQL (stateful per-rotation pairing) -> rows-only check."""
+    from ..fixtures.schedules import schedules_table
+    from ..fixtures.weather import weather_daily_table
+    from ..stages.schedule_ops import update_phu
+
+    sched = rd.from_arrow(schedules_table(40))
+    weather = weather_daily_table(np.array([0]), years=(2018, 2019, 2020)).to_pandas()
+    wref = ray.put(weather)
+    tbs = {c: 5.0 + c for c in range(1, 6)}
+
+    def phu(g: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wref)
+        return update_phu(g, w, tbs)
+
+    return sched.groupby("opc_id").map_groups(phu, batch_format="pandas")
+
+
+@register("validate_schedules")
+def validate_schedules_q(sf_dir: str):
+    """Validator sweep over schedules with planted defects (M8)."""
+    from ..fixtures.schedules import schedules_table
+    from ..stages.schedule_ops import validate_schedule
+
+    sched = rd.from_arrow(schedules_table(60, invalid_frac=0.3))
+
+    def v(g: pd.DataFrame) -> pd.DataFrame:
+        ok, msg = validate_schedule(g)
+        return pd.DataFrame({"opc_id": [g.opc_id.iloc[0]], "is_valid": [ok], "message": [msg]})
+
+    return sched.groupby("opc_id").map_groups(v, batch_format="pandas")
+
+
+@register("validate_weather_daily")
+def validate_weather_daily(sf_dir: str):
+    """DLY validator per grid cell over fixture weather (M7)."""
+    from ..fixtures.weather import weather_daily_table
+    from ..stages.validate import validate_dly_group
+
+    w = rd.from_arrow(weather_daily_table(np.arange(8), years=(2019, 2020)))
+
+    def v(g: pd.DataFrame) -> pd.DataFrame:
+        return validate_dly_group(g, 2019, 2020)
+
+    return w.groupby("grid_id").map_groups(v, batch_format="pandas")
+
+
+@register("smooth_profile")
+def smooth_profile(sf_dir: str):
+    """Per-series outlier-clean + Savitzky-Golay smoothing + season count
+    over per-user event value series (M12/M13/A7)."""
+    from ..stages.profile_ops import calc_num_seasons, smooth_series
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        df = pd.DataFrame({"date": g.ts.dt.floor("D"), "v": g.value})
+        df = df.groupby("date", as_index=False).mean()
+        if len(df) < 7:
+            return pd.DataFrame(
+                {"user_id": [g.user_id.iloc[0]], "n_seasons": [0], "smoothed_mean": [0.0]}
+            )
+        sm = smooth_series(df, "v", method="savitsky", window_length=5, polyorder=2)
+        ns = calc_num_seasons(df.rename(columns={"v": "ndvi"}), "ndvi")
+        return pd.DataFrame(
+            {
+                "user_id": [g.user_id.iloc[0]],
+                "n_seasons": [ns],
+                "smoothed_mean": [round(float(sm["v_smoothed"].mean()), 6)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(prof, batch_format="pandas")

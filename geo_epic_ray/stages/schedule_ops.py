@@ -158,6 +158,8 @@ def update_phu(
     w = weather.copy()
     if "date" not in w.columns:
         w["date"] = pd.to_datetime(w[["year", "month", "day"]])
+    else:
+        w["date"] = pd.to_datetime(w["date"])  # date32 -> Timestamp
     for season in iter_seasons(df):
         tbs = float(tbs_by_crop[season["crop_code"]])
         sel = w[(w["date"] > season["plantation_date"]) & (w["date"] < season["harvest_date"])]
