@@ -164,7 +164,7 @@ def geo_enrich_full(sf_dir: str):
 @register(
     "geo_tile_zonal",
     f"SELECT {_TILE_SQL} AS tile_id, count(*) AS n_docs,"
-    f" sum(n_chars) AS sum_chars, round(avg(n_chars), 6) AS avg_chars"
+    f" sum(n_chars) AS sum_chars, round_even(avg(n_chars), 6) AS avg_chars"
     f" FROM documents GROUP BY 1",
 )
 def geo_tile_zonal(sf_dir: str):
@@ -228,9 +228,9 @@ def geo_cell_count(sf_dir: str):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+           round_even(sum(l_quantity), 4) AS sum_qty,
+           round_even(sum(l_extendedprice), 4) AS sum_base,
+           round_even(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
            count(*) AS n_rows
     FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_returnflag, l_linestatus
@@ -340,7 +340,7 @@ def select_dsl_union(sf_dir: str):
     "semi_join_orders",
     """
     SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS sum_total
+           round_even(sum(o_totalprice), 4) AS sum_total
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     GROUP BY o_orderpriority
@@ -414,7 +414,7 @@ def dominant_customer(sf_dir: str):
     "layer_consolidation",
     """
     SELECT l_partkey, CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
-           round(median(l_extendedprice), 4) AS med_price, count(*) AS n
+           round_even(median(l_extendedprice), 4) AS med_price, count(*) AS n
     FROM lineitem GROUP BY 1, 2
     """,
 )
@@ -451,9 +451,9 @@ def layer_consolidation(sf_dir: str):
     "percentile_profile",
     """
     SELECT event_type,
-           round(quantile_cont(value, 0.1), 6) AS p10,
-           round(quantile_cont(value, 0.9), 6) AS p90,
-           round(avg(value), 6) AS mean_val
+           round_even(quantile_cont(value, 0.1), 6) AS p10,
+           round_even(quantile_cont(value, 0.9), 6) AS p90,
+           round_even(avg(value), 6) AS mean_val
     FROM events GROUP BY event_type
     """,
 )
@@ -479,7 +479,7 @@ def percentile_profile(sf_dir: str):
 @register(
     "phu_heat_units",
     """
-    SELECT user_id, round(sum(greatest(value * 0.2 - 15.0, 0.0)), 4) AS phu
+    SELECT user_id, round_even(sum(greatest(value * 0.2 - 15.0, 0.0)), 4) AS phu
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
     GROUP BY user_id
@@ -558,7 +558,7 @@ def token_count(sf_dir: str):
     """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS len_chars,
-           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           round_even(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / CAST(length(string_split(text, ' ')) AS BIGINT), 6) AS avg_tok_len
     FROM documents
     """,

@@ -15,6 +15,7 @@ import ray
 import ray.data as rd
 
 from ..stages.climate import DAYS_IN_MONTH, INP_COLUMNS, monthly_climate_stats
+from .queries import _TILE_SQL as _TILE_SQL_EXT
 from .queries import register
 
 # --- A1: the reference's daily->monthly INP statistics, applied to a
@@ -51,12 +52,12 @@ monthly AS (
   FROM lagd GROUP BY event_type, month
 )
 SELECT event_type, month,
-  round(obmx, 6) AS OBMX, round(obmn, 6) AS OBMN,
-  round(sdtmx, 6) AS SDTMX, round(sdtmn, 6) AS SDTMN,
-  round(rmo, 6) AS RMO, round(rst2, 6) AS RST2,
-  round(3 * abs(rmo - median(rmo) OVER (PARTITION BY event_type)) / rst2, 6) AS RST3,
-  0.0 AS PRW1, round(prw2, 6) AS PRW2, round(dayp, 6) AS DAYP, 0.0 AS WI,
-  round(obsl, 6) AS OBSL, 0.5 AS RH, 3.5 AS UAVO
+  round_even(obmx, 6) AS OBMX, round_even(obmn, 6) AS OBMN,
+  round_even(sdtmx, 6) AS SDTMX, round_even(sdtmn, 6) AS SDTMN,
+  round_even(rmo, 6) AS RMO, round_even(rst2, 6) AS RST2,
+  round_even(3 * abs(rmo - median(rmo) OVER (PARTITION BY event_type)) / rst2, 6) AS RST3,
+  0.0 AS PRW1, round_even(prw2, 6) AS PRW2, round_even(dayp, 6) AS DAYP, 0.0 AS WI,
+  round_even(obsl, 6) AS OBSL, 0.5 AS RH, 3.5 AS UAVO
 FROM monthly
 """
 
@@ -116,7 +117,7 @@ def monthly_climate_stats_q(sf_dir: str):
     "tumbling_window_agg",
     """
     SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
-           count(*) AS n_events, round(sum(value), 4) AS sum_value
+           count(*) AS n_events, round_even(sum(value), 4) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -157,7 +158,7 @@ def tumbling_window_agg(sf_dir: str):
     "broadcast_join_orders",
     """
     SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n,
-           round(avg(o.o_totalprice), 6) AS avg_price
+           round_even(avg(o.o_totalprice), 6) AS avg_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -446,3 +447,196 @@ def smooth_profile(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(prof, batch_format="pandas")
+
+
+# --- J8-style multi-way join + aggregate ------------------------------------
+
+
+@register(
+    "three_way_join_revenue",
+    """
+    SELECT n.n_name, count(*) AS n_items,
+           round_even(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def three_way_join_revenue(sf_dir: str):
+    """Chained broadcast hash joins (orders, customer, nation are all the
+    small side vs lineitem) + partial-combined grouped aggregate — the
+    reference's component-mapunit-chorizon chained-merge shape
+    (geoEpic/soil/ssurgo_gdb.py:57-72), TPC-H flavored."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    side = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )[["o_orderkey", "n_name"]]
+    ref = ray.put(side.rename(columns={"o_orderkey": "l_orderkey"}))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join_and_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        j = b.merge(s, on="l_orderkey", how="inner")
+        j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+        j["one"] = 1
+        return j.groupby("n_name", as_index=False).agg(
+            n_items=("one", "sum"), revenue=("rev", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(join_and_partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b.revenue.round(4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- global sort + top-k (§2.6) ---------------------------------------------
+
+
+@register(
+    "top_orders_by_price",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def top_orders_by_price(sf_dir: str):
+    """Global distributed sort + limit (the engine adds the global sort
+    the reference never needed — SURVEY.md §2.6)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    # negate the tie-break column so one descending sort gives
+    # (price desc, orderkey asc)
+    keyed = ds.map_batches(
+        lambda b: b.assign(neg_key=-b.o_orderkey), batch_format="pandas"
+    )
+    out = keyed.sort(["o_totalprice", "neg_key"], descending=True).limit(100)
+    return out.drop_columns(["neg_key"])
+
+
+# --- A5: daily collapse -----------------------------------------------------
+
+
+@register(
+    "daily_collapse",
+    """
+    SELECT CAST(ts AS DATE) AS d, count(*) AS n, round_even(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def daily_collapse(sf_dir: str):
+    """groupby(Date).mean — the reference's GEE daily collapse
+    (geoEpic/gee/core.py:225)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(d=b.ts.dt.floor("D"), one=1).groupby("d", as_index=False).agg(
+            n=("one", "sum"), s=("value", "sum")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["avg_value"] = (b.s / b.n).round(6)
+        b["d"] = pd.to_datetime(b.d).dt.date
+        return b.drop(columns=["s"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- J4 zonal mode (deterministic tie-break) --------------------------------
+
+
+@register(
+    "tile_mode_lang",
+    f"""
+    SELECT tile_id, lang AS mode_lang FROM (
+      SELECT {_TILE_SQL_EXT} AS tile_id, lang, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ) QUALIFY row_number() OVER (PARTITION BY tile_id ORDER BY n DESC, lang) = 1
+    """,
+)
+def tile_mode_lang(sf_dir: str):
+    """Zonal MODE (raster_utils.py:66-70's aggregated sampling modes) with
+    the engine's deterministic tie-break: highest count, then smallest
+    value."""
+    from .queries import _enriched
+
+    ds = _enriched(sf_dir).select_columns(["tile_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(one=1).groupby(["tile_id", "lang"], as_index=False)["one"].sum()
+        return g.rename(columns={"one": "n"})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["tile_id", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "lang"], ascending=[False, True], kind="stable").head(1)
+        return g[["tile_id", "lang"]].rename(columns={"lang": "mode_lang"})
+
+    return counts.groupby("tile_id").map_groups(pick, batch_format="pandas")
+
+
+# --- M5 scalar climate formulas ---------------------------------------------
+
+
+@register(
+    "climate_scalars",
+    """
+    SELECT event_id,
+           round(exp((17.625 * (value * 0.05)) / (243.04 + (value * 0.05)))
+                 / exp((17.625 * ((value*0.2 + value*0.2 - 10)/2))
+                       / (243.04 + ((value*0.2 + value*0.2 - 10)/2))), 6) AS rh_dew,
+           round_even(sqrt((value * 0.1) * (value * 0.1) + 9.0), 2) AS ws
+    FROM events
+    """,
+)
+def climate_scalars(sf_dir: str):
+    """The reference's scalar climate formulas (M5, formule.py) vectorized
+    over a derived column set; oracle recomputes the same expressions."""
+    from ..stages.climate import rh_dewpt, windspd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        dew = b.value * 0.05
+        tmax = b.value * 0.2
+        tmin = b.value * 0.2 - 10
+        return pd.DataFrame(
+            {
+                "event_id": b.event_id,
+                "rh_dew": rh_dewpt(dew, tmax, tmin).round(6),
+                "ws": windspd(b.value * 0.1, np.full(len(b), 3.0)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -75,27 +75,58 @@ def monthly_climate_stats(df: pd.DataFrame, *, keep: list[str] | None = None) ->
     return out
 
 
-# --- scalar formulas (geoEpic/utils/formule.py) -----------------------------
+# --- scalar formulas (geoEpic/utils/formule.py, exact constants) ------------
 
 
-def magnus_vp(t: np.ndarray) -> np.ndarray:
-    """Saturation vapor pressure (kPa), Magnus form (formule.py:23-27)."""
-    return 0.6108 * np.exp((17.27 * t) / (t + 237.3))
+def rh_dewpt(dewpt: np.ndarray, tmax: np.ndarray, tmin: np.ndarray) -> np.ndarray:
+    """Relative humidity from dew point (formule.py:3-13):
+    exp(17.625 d/(243.04+d)) / exp(17.625 T/(243.04+T)), T = (tmax+tmin)/2."""
+    t = (tmax + tmin) / 2
+    return np.exp((17.625 * dewpt) / (243.04 + dewpt)) / np.exp(
+        (17.625 * t) / (243.04 + t)
+    )
 
 
-def rh_dewpt(tdew: np.ndarray, tavg: np.ndarray) -> np.ndarray:
-    """Relative humidity from dew point (formule.py:3-13)."""
-    return magnus_vp(tdew) / magnus_vp(tavg)
+def rh_vappr(vappr: np.ndarray, tmax: np.ndarray, tmin: np.ndarray) -> np.ndarray:
+    """Relative humidity from vapor pressure in Pa (formule.py:15-27):
+    es = 611 exp(17.502 T/(T+240.97)), rh = vp/es."""
+    t = (tmax + tmin) / 2
+    es = 611.0 * np.exp(17.502 * t / (t + 240.97))
+    return vappr / es
 
 
-def rh_vappr(vp: np.ndarray, tavg: np.ndarray) -> np.ndarray:
-    """Relative humidity from vapor pressure in Pa (formule.py:16-27)."""
-    return (vp / 1000.0) / magnus_vp(tavg)
+def windspd(uw: np.ndarray, vw: np.ndarray) -> np.ndarray:
+    """sqrt(u^2 + v^2), rounded to 2 decimals (formule.py:29-34)."""
+    return np.round(np.sqrt(uw**2 + vw**2), 2)
 
 
-def windspeed(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """sqrt(u^2 + v^2) (formule.py:30-34)."""
-    return np.sqrt(u * u + v * v)
+def daymet_normalize(data: pd.DataFrame, start_year: int, end_year: int) -> pd.DataFrame:
+    """The Daymet 365-day-calendar normalizer (geoEpic/weather/daymet.py:26-51):
+    in leap years shift yday >= 60 by one and insert day 60 as the mean of
+    days 59 and 61; srad W/m2 -> MJ/m2/day via daylength; rh from vapor
+    pressure. Input columns: year, yday, dayl, prcp, srad, swe, tmax,
+    tmin, vp. Output: year, month, day, srad, tmax, tmin, prcp, rh."""
+    data = data.copy()
+    years = np.arange(start_year, end_year + 1, dtype=np.int64)
+    leap = years[((years % 4 == 0) & (years % 100 != 0)) | (years % 400 == 0)]
+    sel = data["year"].isin(leap) & (data["yday"] >= 60)
+    data.loc[sel, "yday"] += 1
+    d59 = data[data["year"].isin(leap) & (data["yday"] == 59)].reset_index(drop=True)
+    d61 = data[data["year"].isin(leap) & (data["yday"] == 61)].reset_index(drop=True)
+    avg = (d59 + d61) / 2
+    avg["year"] = d59["year"]
+    avg["yday"] = 60
+    data = pd.concat([data, avg]).sort_values(["year", "yday"])
+    data["date"] = pd.to_datetime(
+        data["year"].astype(int).astype(str) + "-" + data["yday"].astype(int).astype(str),
+        format="%Y-%j",
+    )
+    data["month"] = data["date"].dt.month
+    data["day"] = data["date"].dt.day
+    data = data.drop(["date", "yday"], axis=1)
+    data["srad"] = (data["srad"] * data["dayl"]) / 1e6
+    data["rh"] = rh_vappr(data["vp"], data["tmax"], data["tmin"])
+    return data[["year", "month", "day", "srad", "tmax", "tmin", "prcp", "rh"]]
 
 
 # --- SSURGO unit conversions (geoEpic/soil/sda.py:166-192) ------------------

@@ -77,3 +77,15 @@ def group_argmax(
         return best.sort_values(tie_col).head(1)
 
     return ds.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def outer_merge_mean(a: pd.DataFrame, b: pd.DataFrame, on: str = "Date") -> pd.DataFrame:
+    """J9: outer join on a key; columns appearing in BOTH sides merge to
+    their element-wise mean (the reference's GEE collection merge,
+    geoEpic/gee/core.py:217-223 — pd.merge outer then mean of _x/_y
+    suffix pairs)."""
+    merged = a.merge(b, on=on, how="outer", suffixes=("_x", "_y"))
+    for col in [c[:-2] for c in merged.columns if c.endswith("_x")]:
+        merged[col] = merged[[f"{col}_x", f"{col}_y"]].mean(axis=1)
+        merged = merged.drop(columns=[f"{col}_x", f"{col}_y"])
+    return merged.sort_values(on).reset_index(drop=True)

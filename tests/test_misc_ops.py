@@ -1,0 +1,146 @@
+"""Geometry normalizers, parameter tables, climate scalars/daymet,
+extension surface, outer-merge, multimodal plumbing, CLI."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_epic_ray.geo.geometry import (km_to_deg, largest_polygon, point_wkt,
+                                       polygon_area, polygon_centroid)
+from geo_epic_ray.sources.parmio import (combine_cropcom, format_ieparm,
+                                         parse_cropcom, parse_ieparm)
+from geo_epic_ray.stages.climate import daymet_normalize, rh_dewpt, rh_vappr, windspd
+from geo_epic_ray.stages.joins import outer_merge_mean
+
+
+def _sq(x0, y0, s):
+    return [np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]])]
+
+
+def test_largest_polygon_and_area():
+    small, big = _sq(0, 0, 1), _sq(5, 5, 3)
+    assert polygon_area(big) == pytest.approx(9)
+    assert largest_polygon([small, big]) is big
+
+
+def test_centroid_and_wkt():
+    cx, cy = polygon_centroid(_sq(2, 4, 2))
+    assert (cx, cy) == (pytest.approx(3), pytest.approx(5))
+    assert point_wkt(-97.5, 38.2) == "point(-97.5 38.2)"
+    assert km_to_deg(111.0) == pytest.approx(1.0)
+
+
+def test_climate_scalar_formulas_reference_constants():
+    # rh at dewpoint == T must be exactly 1
+    assert rh_dewpt(np.array([20.0]), np.array([25.0]), np.array([15.0]))[0] == pytest.approx(1.0)
+    # es(20C) = 611*exp(17.502*20/260.97) ~ 2339 Pa -> rh = vp/es
+    rh = rh_vappr(np.array([1169.5]), np.array([25.0]), np.array([15.0]))
+    assert 0.45 < rh[0] < 0.55
+    assert windspd(np.array([3.0]), np.array([4.0]))[0] == 5.0
+
+
+def test_daymet_normalizer_leap_day():
+    # 2020 is a leap year: 365-day daymet calendar -> day 60 inserted
+    rows = []
+    for yday in range(1, 366):
+        rows.append({"year": 2020, "yday": yday, "dayl": 43200.0, "prcp": 1.0,
+                     "srad": 300.0, "swe": 0.0, "tmax": 20.0, "tmin": 10.0, "vp": 800.0})
+    df = pd.DataFrame(rows)
+    out = daymet_normalize(df, 2020, 2020)
+    assert len(out) == 366
+    feb29 = out[(out.month == 2) & (out.day == 29)]
+    assert len(feb29) == 1
+    # srad converted W/m2 -> MJ/m2/day
+    assert out.srad.iloc[0] == pytest.approx(300.0 * 43200.0 / 1e6)
+    assert 0 < out.rh.iloc[0] < 1
+
+
+def test_cropcom_split_and_combine_roundtrip():
+    cols = ["#", "NAME"] + [f"C{i}" for i in range(56)] + ["DLAP1", "DLAP2"]
+    header = "".join(f"{c:>5}" if i < 2 else f"{c:>8}" for i, c in enumerate(cols))
+    vals = [1, 99] + [1.5] * 56 + [5.25, 10.75]
+    row = f"{vals[0]:>5}{vals[1]:>5}" + "".join(f"{v:8.2f}" for v in vals[2:])
+    text = "title\n" + header + "desc" + "\n" + row + "\n"
+    df = parse_cropcom(text)
+    assert "DLAP1_v1" in df.columns and df["DLAP1_v1"].iloc[0] == 5.0
+    assert df["DLAP1_v2"].iloc[0] == pytest.approx(25.0)
+    back = combine_cropcom(df)
+    assert back["DLAP1"].iloc[0] == pytest.approx(5.25)
+
+
+def test_ieparm_roundtrip():
+    df = pd.DataFrame(
+        [[float(i % 50) for i in range(180)]],
+        columns=[f"SCRP1_{i}" for i in range(1, 31)]
+        + [f"SCRP2_{i}" for i in range(1, 31)]
+        + [f"PARM{i}" for i in range(1, 121)],
+    )
+    back = parse_ieparm(format_ieparm(df))
+    np.testing.assert_allclose(back.values, df.values)
+
+
+def test_outer_merge_mean():
+    a = pd.DataFrame({"Date": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    b = pd.DataFrame({"Date": [2, 3, 4], "v": [4.0, 6.0, 8.0]})
+    out = outer_merge_mean(a, b, on="Date")
+    assert list(out.Date) == [1, 2, 3, 4]
+    assert list(out.v) == [1.0, 3.0, 4.5, 8.0]  # lone values pass through
+
+
+def test_routine_registry(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.pipelines.registry import RoutineRegistry, eval_derived_columns
+
+    reg = RoutineRegistry()
+
+    @reg.routine
+    def double_chars(rec):
+        return {"twice": rec["n_chars"] * 2}
+
+    @reg.objective
+    def total(df):
+        return df["twice"].sum()
+
+    ds = rd.from_items([{"doc_id": i, "n_chars": 10 * i} for i in range(5)])
+    out = reg.apply(ds).to_pandas()
+    assert len(out) == 5 and set(out.routine) == {"double_chars"}
+    assert reg.reduce("total", out) == sum(10 * i * 2 for i in range(5))
+
+    derived = eval_derived_columns(ds, {"half": "n_chars / 2", "root": "sqrt(n_chars)"})
+    d = derived.to_pandas()
+    assert list(d.half) == [5.0 * i for i in range(5)]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.multimodal import (FrameSample, decode_pipeline,
+                                                synth_media_table)
+
+    media = synth_media_table([f"media://{i}" for i in range(20)], ["image"] * 20)
+    ds = rd.from_arrow(media)
+    out = decode_pipeline(ds, fake=True, concurrency=1).to_pandas()
+    assert set(["height", "width", "pixels"]).issubset(out.columns)
+    assert (out.height == 4).all() and (out.width == 4).all()
+    assert out.pixels.map(len).eq(4 * 4 * 3).all()
+
+    sampled = ds.map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=8, concurrency=1,
+        fn_constructor_kwargs={"fake": True},
+    ).to_pandas()
+    assert (sampled.n_frames_sampled >= 1).all()
+
+    # real (non-fake) decode path raises cleanly
+    from geo_epic_ray.stages.multimodal import ImageDecode
+
+    with pytest.raises(NotImplementedError):
+        ImageDecode()(media)
+
+
+def test_cli_list_queries(capsys):
+    from geo_epic_ray.__main__ import main
+
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "geo_enrich_full" in out and "sql-oracle" in out
