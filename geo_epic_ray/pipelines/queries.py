@@ -252,25 +252,15 @@ def pricing_summary(sf_dir: str):
         )
         return g
 
-    from ray.data.aggregate import Sum
+    from ..stages.aggregates import partials_to_driver
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base", alias_name="sum_base"),
-            Sum("sum_disc", alias_name="sum_disc"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-    )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
         for c in ("sum_qty", "sum_base", "sum_disc"):
-            batch[c] = batch[c].round(4)
-        return batch
+            g[c] = g[c].round(4)
+        return g
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 # --- M1: select DSL ---------------------------------------------------------
@@ -357,17 +347,21 @@ def semi_join_orders(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
     )
     kept = semi_join(orders, keys, "o_custkey")
-    from ray.data.aggregate import Count, Sum
+    from ..stages.aggregates import partials_to_driver
 
-    agg = kept.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(one=1).groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("one", "sum"), sum_total=("o_totalprice", "sum")
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("o_orderpriority", as_index=False).sum()
+        g["sum_total"] = g.sum_total.round(4)
+        return g
+
+    return partials_to_driver(
+        kept.map_batches(partial, batch_format="pandas"), final
     )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_total"] = b.sum_total.round(4)
-        return b
-
-    return agg.map_batches(finish, batch_format="pandas")
 
 
 @register(
@@ -423,24 +417,22 @@ def layer_consolidation(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
     )
 
+    from ..stages.aggregates import bucketed_group_agg
+
     def binify(b: pd.DataFrame) -> pd.DataFrame:
         b["qty_bin"] = np.floor(b.l_quantity / 10).astype(np.int64)
         return b[["l_partkey", "qty_bin", "l_extendedprice"]]
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_partkey": [g.l_partkey.iloc[0]],
-                "qty_bin": [g.qty_bin.iloc[0]],
-                "med_price": [round(g.l_extendedprice.median(), 4)],
-                "n": [len(g)],
-            }
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_partkey", "qty_bin"], as_index=False).agg(
+            med_price=("l_extendedprice", "median"), n=("l_extendedprice", "size")
         )
+        g["med_price"] = g.med_price.round(4)
+        return g
 
-    return (
-        ds.map_batches(binify, batch_format="pandas")
-        .groupby(["l_partkey", "qty_bin"])
-        .map_groups(med, batch_format="pandas")
+    # ~10k groups: bucketed aggregation (see stages/aggregates.py)
+    return bucketed_group_agg(
+        ds.map_batches(binify, batch_format="pandas"), ["l_partkey", "qty_bin"], med
     )
 
 
@@ -492,19 +484,20 @@ def phu_heat_units(sf_dir: str):
 
     def hu(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b.ts >= pd.Timestamp("2024-01-05")) & (b.ts < pd.Timestamp("2024-01-25"))]
-        return pd.DataFrame({"user_id": b.user_id, "hu": np.maximum(b.value * 0.2 - 15.0, 0.0)})
+        part = pd.DataFrame(
+            {"user_id": b.user_id, "hu": np.maximum(b.value * 0.2 - 15.0, 0.0)}
+        )
+        # combine per batch before the shuffle
+        return part.groupby("user_id", as_index=False)["hu"].sum()
 
-    from ray.data.aggregate import Sum
+    from ..stages.aggregates import partials_to_driver
 
-    agg = ds.map_batches(hu, batch_format="pandas").groupby("user_id").aggregate(
-        Sum("hu", alias_name="phu")
-    )
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("user_id", as_index=False)["hu"].sum()
+        g["phu"] = g.hu.round(4)
+        return g.drop(columns=["hu"])
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["phu"] = b.phu.round(4)
-        return b
-
-    return agg.map_batches(finish, batch_format="pandas")
+    return partials_to_driver(ds.map_batches(hu, batch_format="pandas"), final)
 
 
 # --- §2.7: exact dedup (hash-partition + per-group first) -------------------

@@ -125,30 +125,24 @@ def tumbling_window_agg(sf_dir: str):
     """Tumbling 1-hour windows per user — the engine's restatement of
     stream windowing (SURVEY.md §2.9: Ray Data has no event-time windows;
     windows become grouped aggregation on floor(ts/size))."""
+    from ..stages.aggregates import bucketed_group_agg
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def win(b: pd.DataFrame) -> pd.DataFrame:
         w = np.floor(b.ts.astype("int64") / 1e6 / 3600).astype("int64")
-        g = (
-            b.assign(win=w, one=1)
-            .groupby(["user_id", "win"], as_index=False)
-            .agg(n_events=("one", "sum"), sum_value=("value", "sum"))
+        return pd.DataFrame({"user_id": b.user_id, "win": w, "value": b.value})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(one=1).groupby(["user_id", "win"], as_index=False).agg(
+            n_events=("one", "sum"), sum_value=("value", "sum")
         )
+        g["sum_value"] = g.sum_value.round(4)
         return g
 
-    from ray.data.aggregate import Sum
-
-    agg = (
-        ds.map_batches(win, batch_format="pandas")
-        .groupby(["user_id", "win"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
-    )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_value"] = b.sum_value.round(4)
-        return b
-
-    return agg.map_batches(finish, batch_format="pandas")
+    # ~95k (user, window) groups: bucketed aggregation beats the native
+    # per-group reduce by ~10x here
+    return bucketed_group_agg(ds.map_batches(win, batch_format="pandas"), ["user_id", "win"], agg)
 
 
 # --- J7-style broadcast hash join + aggregate -------------------------------
@@ -183,19 +177,16 @@ def broadcast_join_orders(sf_dir: str):
             .agg(n=("one", "sum"), sum_price=("o_totalprice", "sum"))
         )
 
-    from ray.data.aggregate import Sum
+    from ..stages.aggregates import partials_to_driver
 
-    agg = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby(["c_mktsegment", "o_orderpriority"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price"))
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(["c_mktsegment", "o_orderpriority"], as_index=False).sum()
+        g["avg_price"] = (g.sum_price / g.n).round(6)
+        return g.drop(columns=["sum_price"])
+
+    return partials_to_driver(
+        joined.map_batches(partial, batch_format="pandas"), final
     )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["avg_price"] = (b.sum_price / b.n).round(6)
-        return b.drop(columns=["sum_price"])
-
-    return agg.map_batches(finish, batch_format="pandas")
 
 
 # --- distinct (§2.7) --------------------------------------------------------
@@ -264,15 +255,14 @@ def token_histogram(sf_dir: str):
         g = toks.groupby(toks).size()
         return pd.DataFrame({"tok": g.index, "partial": g.values})
 
-    from ray.data.aggregate import Sum
+    from ..stages.aggregates import partials_to_driver
 
-    agg = (
-        ds.map_batches(explode_count, batch_format="pandas")
-        .groupby("tok")
-        .aggregate(Sum("partial", alias_name="n"))
-    )
-    return agg.map_batches(
-        lambda b: b[b.n >= 50], batch_format="pandas"
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("tok", as_index=False)["partial"].sum().rename(columns={"partial": "n"})
+        return g[g.n >= 50]
+
+    return partials_to_driver(
+        ds.map_batches(explode_count, batch_format="pandas"), final
     )
 
 
@@ -492,19 +482,16 @@ def three_way_join_revenue(sf_dir: str):
             n_items=("one", "sum"), revenue=("rev", "sum")
         )
 
-    from ray.data.aggregate import Sum
+    from ..stages.aggregates import partials_to_driver
 
-    agg = (
-        li.map_batches(join_and_partial, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("n_items", alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("n_name", as_index=False).sum()
+        g["revenue"] = g.revenue.round(4)
+        return g
+
+    return partials_to_driver(
+        li.map_batches(join_and_partial, batch_format="pandas"), final
     )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["revenue"] = b.revenue.round(4)
-        return b
-
-    return agg.map_batches(finish, batch_format="pandas")
 
 
 # --- global sort + top-k (§2.6) ---------------------------------------------
@@ -551,20 +538,15 @@ def daily_collapse(sf_dir: str):
         )
         return g
 
-    from ray.data.aggregate import Sum
+    from ..stages.aggregates import partials_to_driver
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("d")
-        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
-    )
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("d", as_index=False).sum()
+        g["avg_value"] = (g.s / g.n).round(6)
+        g["d"] = pd.to_datetime(g.d).dt.date
+        return g.drop(columns=["s"])
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["avg_value"] = (b.s / b.n).round(6)
-        b["d"] = pd.to_datetime(b.d).dt.date
-        return b.drop(columns=["s"])
-
-    return agg.map_batches(finish, batch_format="pandas")
+    return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 # --- J4 zonal mode (deterministic tie-break) --------------------------------

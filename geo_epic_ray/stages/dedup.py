@@ -149,6 +149,39 @@ def minhash_dedup_pairs(
     lookup_ref = ray.put(texts_by_id)
     buckets = minhash_lsh_buckets(ds, text_col, id_col, num_perm, bands, shingle_k)
 
+    # Composite bucket key so the whole pipeline shuffles ONE int64 column.
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        bh = b["band_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        bid = b["band_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        b["bkey"] = (bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
+        return b[["bkey", id_col]]
+
+    # Materialize the (bkey, id) table once — it is tiny (bands ints per
+    # doc) and is consumed twice (count pass + pair pass); without this the
+    # signature computation re-executes per consumer.
+    kb = buckets.map_batches(keyed, batch_format="pandas").materialize()
+
+    # Prefilter: only buckets holding >= 2 docs can produce pairs. Partial
+    # counts per batch are combined driver-side — a Ray sort-based groupby
+    # over ~n_docs*bands mostly-unique keys costs tens of seconds for what
+    # is a small merge (measured: 65s -> ~4s at sf0.1 end to end).
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("bkey", as_index=False).size()
+        return g.rename(columns={"size": "pn"})
+
+    partials = kb.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    totals = partials.groupby("bkey", as_index=False)["pn"].sum()
+    hot_keys = np.sort(totals.loc[totals.pn >= 2, "bkey"].to_numpy())
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(hot_ref)
+        if keys.size == 0:
+            return b.iloc[0:0]
+        pos = np.clip(np.searchsorted(keys, b.bkey.to_numpy()), 0, keys.size - 1)
+        return b[keys[pos] == b.bkey.to_numpy()]
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].unique())
         if ids.size < 2:
@@ -156,37 +189,47 @@ def minhash_dedup_pairs(
         ia, ib = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = (
+        kb.map_batches(keep_hot, batch_format="pandas")
+        .groupby("bkey")
+        .map_groups(pairs, batch_format="pandas")
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        """Exact-Jaccard check with a per-worker shingle-set memo — each
+        doc participates in many candidate pairs, so sets are built once
+        per worker, not once per pair."""
         if not len(batch):
             return batch.assign(jaccard=pd.Series(dtype=float))
+        from ..state.worker_cache import get_or_build
+
         texts = ray.get(lookup_ref)
+        memo = get_or_build(f"shingles:{lookup_ref.hex()}:{shingle_k}", dict)
+
+        def sset(i):
+            s = memo.get(i)
+            if s is None:
+                t = texts[i]
+                s = {t[j : j + shingle_k] for j in range(max(1, len(t) - shingle_k + 1))}
+                memo[i] = s
+            return s
+
         batch = batch.drop_duplicates(["id_a", "id_b"])
-        j = [
-            jaccard(texts[a], texts[b], shingle_k)
-            for a, b in zip(batch.id_a, batch.id_b)
-        ]
+        j = []
+        for a, b in zip(batch.id_a, batch.id_b):
+            sa, sb = sset(a), sset(b)
+            j.append(len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0)
         batch = batch.assign(jaccard=j)
         return batch[batch.jaccard >= threshold]
 
     verified = cand.map_batches(verify, batch_format="pandas")
-
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    def key(b: pd.DataFrame) -> pd.DataFrame:
-        b["pair_key"] = b.id_a * 10_000_000 + b.id_b
-        return b
-
-    return (
-        verified.map_batches(key, batch_format="pandas")
-        .groupby("pair_key")
-        .map_groups(dedupe, batch_format="pandas")
-        .drop_columns(["pair_key"])
-    )
+    # The surviving set is small by construction (true near-dups only);
+    # final cross-band dedup is a driver-side drop_duplicates. At corpus
+    # scale this last step becomes a hash-partitioned groupby instead.
+    out = verified.to_pandas()
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
 
 
 # --- SimHash ----------------------------------------------------------------

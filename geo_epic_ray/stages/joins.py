@@ -89,3 +89,51 @@ def outer_merge_mean(a: pd.DataFrame, b: pd.DataFrame, on: str = "Date") -> pd.D
         merged[col] = merged[[f"{col}_x", f"{col}_y"]].mean(axis=1)
         merged = merged.drop(columns=[f"{col}_x", f"{col}_y"])
     return merged.sort_values(on).reset_index(drop=True)
+
+
+def bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    n_buckets: int = 16,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Partitioned hash join for two LARGE sides (the guide's portable
+    pattern): tag each side, bucket by hash(key) % n_buckets, union, then
+    join matching buckets pairwise inside map_groups. Use BroadcastJoin
+    when one side fits in memory — this path exists for the big-big case
+    and costs a full shuffle of both sides.
+
+    Skew note: salt hot keys into sub-buckets upstream (see
+    stages/partition.py) before calling when the key histogram is heavy.
+    """
+
+    lcols = [c for c in left.schema().names if c != on]
+    rcols = [c for c in right.schema().names if c != on]
+    if set(lcols) & set(rcols):
+        raise ValueError("bucket_join sides must have disjoint non-key columns")
+
+    def tag(side: int, pad_cols: list[str]):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in pad_cols:  # union needs one schema across both sides
+                b[c] = np.nan
+            b["__side"] = side
+            b["__bucket"] = (
+                pd.util.hash_array(b[on].to_numpy()) % n_buckets
+            ).astype("int64")
+            return b[[on] + lcols + rcols + ["__side", "__bucket"]]
+
+        return f
+
+    u = left.map_batches(tag(0, rcols), batch_format="pandas").union(
+        right.map_batches(tag(1, lcols), batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][[on] + lcols]
+        r = g[g["__side"] == 1][[on] + rcols]
+        return l.merge(r, on=on, how=how)
+
+    return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -92,12 +92,27 @@ def select(ds: rd.Dataset, expr: str, id_col: str) -> rd.Dataset:
             b.map_batches(tag(1), batch_format="pyarrow")
         )
 
-        def keep_last(g: pd.DataFrame) -> pd.DataFrame:
-            return (
-                g.sort_values("__branch").tail(1).drop(columns="__branch")
-            )
+        # keep='last' == max branch priority per id; bucketed by hash(id)
+        # so the dedup is a vectorized pandas pass per bucket instead of a
+        # per-id map_groups (which pays per-group overhead at scale)
+        def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__bucket"] = (
+                pd.util.hash_array(batch[id_col].to_numpy()) % 64
+            ).astype("int64")
+            return batch
 
-        return u.groupby(id_col).map_groups(keep_last, batch_format="pandas")
+        def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("__branch", kind="stable").drop_duplicates(
+                id_col, keep="last"
+            )
+            return g.drop(columns=["__branch", "__bucket"])
+
+        return (
+            u.map_batches(bucketize, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(keep_last, batch_format="pandas")
+        )
     out = ds
     for term in expr.split(";"):
         term = term.strip()

@@ -1,0 +1,141 @@
+"""Weather materialization pipeline, bucket join, similarity oracles,
+select DSL units, unit conversions."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_epic_ray.stages.climate import ssurgo_unit_convert
+
+
+def test_weather_pipeline_end_to_end(ray_session, tmp_path):
+    from geo_epic_ray.fixtures.weather import weather_daily_table
+    from geo_epic_ray.pipelines.weather import (monthly_inp, synthesize_daily,
+                                                write_dly_files)
+    from geo_epic_ray.sources.fixed_width import parse_dly
+    from geo_epic_ray.stages.climate import monthly_climate_stats
+
+    gids = np.array([0, 3, 7, 11])
+    daily = synthesize_daily(gids, years=(2019, 2020))
+    assert daily.count() == 4 * 731
+
+    inp = monthly_inp(daily).to_pandas()
+    assert len(inp) == 4 * 12
+    # matches the pandas oracle for one cell
+    oracle = monthly_climate_stats(
+        weather_daily_table(np.array([3]), years=(2019, 2020)).to_pandas()
+    )
+    got = inp[inp.grid_id == 3].sort_values("month").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["grid_id"]), oracle, check_dtype=False
+    )
+
+    report = write_dly_files(daily, str(tmp_path)).to_pandas()
+    assert len(report) == 4 and report.rows.sum() == 4 * 731
+    back = parse_dly((tmp_path / "3.DLY").read_text())
+    assert len(back) == 731
+
+
+def test_bucket_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.joins import bucket_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500), "a": np.arange(500)})
+    right = pd.DataFrame({"k": rng.integers(0, 50, 300), "b": np.arange(300) * 2})
+    got = (
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right), "k", n_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], exp, check_dtype=False)
+
+
+def test_ann_topk_matches_numpy_bruteforce(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.similarity import ann_topk
+
+    rng = np.random.default_rng(9)
+    n, d = 400, 32
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+    q = mat[:2].astype(np.float64)
+    out = (
+        ann_topk(rd.from_pandas(df), q, k=5, exclude_ids=np.array([0, 1]))
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    mn = mat.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for qi in range(2):
+        s = sims[:, qi].copy()
+        s[qi] = -np.inf  # excluded
+        exp = np.lexsort((np.arange(n), -s))[:5]
+        got = out[out.query_id == qi].vec_id.to_numpy()
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_ivf_recall_reasonable(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.similarity import ann_topk, ivf_topk, train_ivf_centroids
+
+    rng = np.random.default_rng(2)
+    n, d = 600, 16
+    mat = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+    q = mat[:3]
+    cents = train_ivf_centroids(mat, n_centroids=8)
+    ds = rd.from_pandas(df)
+    exact = ann_topk(ds, q, k=10).to_pandas()
+    approx = ivf_topk(ds, q, cents, k=10, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / 10)
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 buckets
+
+
+def test_select_dsl_units(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.select_dsl import sample_mask, select
+
+    df = pd.DataFrame({"id": np.arange(100), "v": np.arange(100) % 10})
+    ds = rd.from_pandas(df)
+    # Range slice is positional on id order
+    out = select(ds, "Range(0.1, 0.3)", "id").to_pandas()
+    assert list(out.id) == list(range(10, 30))
+    # AND chain
+    out = select(ds, "Range(0.0, 0.5); v > 7", "id").to_pandas()
+    assert all(out.v > 7) and all(out.id < 50)
+    # deterministic Random
+    out = select(ds, "Random(0.2)", "id").to_pandas()
+    assert set(out.id) == set(np.arange(100)[sample_mask(np.arange(100), 0.2)])
+    # union keeps each id once
+    out = select(ds, "v > 8 + v < 1", "id").to_pandas()
+    assert len(out) == len(set(out.id)) == 20
+
+
+def test_ssurgo_unit_convert():
+    df = pd.DataFrame(
+        {
+            "hzdepb_r": [150.0], "wfifteenbar_r": [15.0], "om_r": [2.0],
+            "ksat_r": [10.0], "albedodry_r": [0.32], "sieveno10_r": [85.0],
+            "hydgrp": [None],
+        }
+    )
+    out = ssurgo_unit_convert(df)
+    assert out.hzdepb_r.iloc[0] == pytest.approx(1.5)
+    assert out.om_r.iloc[0] == pytest.approx(1.16)
+    assert out.ksat_r.iloc[0] == pytest.approx(36.0)
+    assert out.albedodry_r.iloc[0] == pytest.approx(0.2)
+    assert out.course_fragment.iloc[0] == pytest.approx(15.0)
+    assert out.hydgrp.iloc[0] == 3  # 'C' default
