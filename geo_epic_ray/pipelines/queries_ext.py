@@ -622,3 +622,21 @@ def climate_scalars(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# --- the simulation fleet (§3.1 main path) ----------------------------------
+
+
+@register("simulation_fleet")
+def simulation_fleet(sf_dir: str):
+    """End-to-end 'workspace run' restatement: enrich the sf documents,
+    join broadcast soil-quality + seasonal-heat side tables in the sim
+    stage, emit per-doc pseudo-yields (+ quarantine column). Model compute
+    is a deterministic stand-in (no Fortran binary here) -> rows-only."""
+    from .flagship import flagship_enrich
+    from .queries import _docs
+    from .simulate import run_simulation_fleet
+
+    enriched = flagship_enrich(_docs(sf_dir), skew=False, concurrency=2, batch_size=4096)
+    ok, _bad = run_simulation_fleet(enriched, concurrency=2, canary=True)
+    return ok.select_columns(["doc_id", "mukey", "grid_id", "yield"])
