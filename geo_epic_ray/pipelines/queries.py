@@ -269,7 +269,7 @@ def pricing_summary(sf_dir: str):
 @register(
     "select_dsl_filter",
     "SELECT event_id, user_id, value FROM events"
-    " WHERE value > 400 AND event_type = 'click'",
+    " WHERE value > 100 AND event_type = 'click'",
 )
 def select_dsl_filter(sf_dir: str):
     from ..stages.select_dsl import select
@@ -277,7 +277,7 @@ def select_dsl_filter(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value"]
     )
-    out = select(ds, "value > 400 and event_type == 'click'", "event_id")
+    out = select(ds, "value > 100 and event_type == 'click'", "event_id")
     return out.select_columns(["event_id", "user_id", "value"])
 
 

@@ -52,12 +52,12 @@ monthly AS (
   FROM lagd GROUP BY event_type, month
 )
 SELECT event_type, month,
-  round_even(obmx, 6) AS OBMX, round_even(obmn, 6) AS OBMN,
-  round_even(sdtmx, 6) AS SDTMX, round_even(sdtmn, 6) AS SDTMN,
-  round_even(rmo, 6) AS RMO, round_even(rst2, 6) AS RST2,
-  round_even(3 * abs(rmo - median(rmo) OVER (PARTITION BY event_type)) / rst2, 6) AS RST3,
-  0.0 AS PRW1, round_even(prw2, 6) AS PRW2, round_even(dayp, 6) AS DAYP, 0.0 AS WI,
-  round_even(obsl, 6) AS OBSL, 0.5 AS RH, 3.5 AS UAVO
+  round_even(obmx, 2) AS OBMX, round_even(obmn, 2) AS OBMN,
+  round_even(sdtmx, 2) AS SDTMX, round_even(sdtmn, 2) AS SDTMN,
+  round_even(rmo, 2) AS RMO, round_even(rst2, 2) AS RST2,
+  round_even(3 * abs(rmo - median(rmo) OVER (PARTITION BY event_type)) / rst2, 2) AS RST3,
+  0.0 AS PRW1, round_even(prw2, 2) AS PRW2, round_even(dayp, 2) AS DAYP, 0.0 AS WI,
+  round_even(obsl, 2) AS OBSL, 0.5 AS RH, 3.5 AS UAVO
 FROM monthly
 """
 
@@ -95,8 +95,11 @@ def monthly_climate_stats_q(sf_dir: str):
     def stats(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
         out = monthly_climate_stats(g, keep=["event_type"])
+        # the reference emits INP at 2 decimals (%6.2f, inputs.py:324);
+        # 2-decimal rounding also keeps pandas-vs-DuckDB summation-order
+        # ulp differences away from the rounding boundary
         for c in INP_COLUMNS:
-            out[c] = out[c].astype(float).round(6)
+            out[c] = out[c].astype(float).round(2)
         out["RH"] = 0.5
         out["UAVO"] = 3.5
         out["PRW1"] = 0.0
