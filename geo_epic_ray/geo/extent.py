@@ -68,13 +68,20 @@ def doc_point(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def doc_point_sql(doc_id_expr: str = "doc_id") -> tuple[str, str]:
-    """ANSI-SQL expressions computing the same (lat, lon) in DuckDB."""
+    """ANSI-SQL expressions computing the same (lat, lon) in DuckDB.
+
+    The multiply runs in HUGEINT so it never overflows: for any doc_id,
+    (id*M mod 2^128-exact) mod 2^32 equals numpy's uint64 wraparound
+    followed by mod 2^32, because 2^32 divides 2^64 (bit-parity
+    property-tested in tests/test_sql_parity.py up to 2^40 ids — the
+    10^12-corpus range)."""
+    big = f"CAST({doc_id_expr} AS HUGEINT)"
     lat = (
-        f"({LAT0} + ((({doc_id_expr} * {_M1}) % {_TWO32}) / {_TWO32}.0)"
+        f"({LAT0} + (CAST((({big} * {_M1}) % {_TWO32}) AS DOUBLE) / {_TWO32}.0)"
         f" * ({LAT1} - {LAT0}))"
     )
     lon = (
-        f"({LON0} + ((({doc_id_expr} * {_M2} + {_A2}) % {_TWO32}) / {_TWO32}.0)"
+        f"({LON0} + (CAST((({big} * {_M2} + {_A2}) % {_TWO32}) AS DOUBLE) / {_TWO32}.0)"
         f" * ({LON1} - {LON0}))"
     )
     return lat, lon

