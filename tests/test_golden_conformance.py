@@ -1,0 +1,117 @@
+"""Conformance against the reference's own golden workspace fixture
+(geoEpic/assets/ws_template — SURVEY.md §5.2: the de-facto conformance
+corpus). These files were authored for/by the reference implementation;
+our parsers must read them and recover the documented values."""
+
+import os
+
+import numpy as np
+import pytest
+
+WS = "/root/reference/geoEpic/assets/ws_template"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(WS), reason="reference fixture not present"
+)
+
+
+def test_golden_sit():
+    from geo_epic_ray.sources.fixed_width import parse_sit
+
+    info = parse_sit(open(f"{WS}/sites/32620572.sit").read())
+    assert info["ID"] == "32620572"
+    assert info["lat"] == 38.45
+    assert info["lon"] == -97.27
+    assert info["elevation"] == 457.00
+    # slope fields live at line 4 cols 48:56 / 56:64 per the reference
+    assert info["slope_length"] == 61.00
+    assert info["slope_steep"] == 0.00
+
+
+def test_golden_sol():
+    from geo_epic_ray.sources.fixed_width import parse_sol
+    from geo_epic_ray.stages.validate import validate_sol_row
+
+    soil = parse_sol(open(f"{WS}/soil/files/382056.SOL").read())
+    assert soil["soil_id"] == 382056
+    assert soil["albedo"] == 0.23
+    assert soil["hydgrp"] == "B"  # 2.000 -> 'B'
+    assert soil["num_layers"] == 4
+    layers = soil["layers"]
+    np.testing.assert_allclose(layers["Layer_depth"], [0.25, 0.46, 0.89, 2.03])
+    np.testing.assert_allclose(layers["Bulk_Density"], [1.45, 1.58, 1.58, 1.58])
+    # Faithfulness check: the reference's own validator REJECTS its own
+    # fixture (layer 0 Saturated_conductivity = 100.8 > the documented
+    # 100 cap, geoEpic/io/inputs.py:151) — our port must flag the same
+    # violation with the same message shape.
+    ok, msg = validate_sol_row(
+        soil["albedo"], soil["hydgrp"], layers.to_dict("records")
+    )
+    assert not ok and "Saturated_conductivity" in msg and "100.8" in msg
+
+
+def test_golden_opc():
+    from geo_epic_ray.sources.fixed_width import parse_opc
+    from geo_epic_ray.stages.schedule_ops import (iter_seasons,
+                                                  validate_schedule)
+
+    text = open(f"{WS}/opc/files/CropRot_1.OPC").read()
+    df, sy = parse_opc(text, start_year=2018)
+    assert sy == 2018
+    assert len(df) > 5
+    # first rows per the file: tillage ops on Apr 22/23, fertilizer Apr 24
+    assert list(df.iloc[0][["Yid", "Mn", "Dy", "CODE"]]) == [1, 4, 22, 30]
+    fert = df[df.CODE == 71]
+    assert fert.OPV1.iloc[0] == 80.0
+    # plantation row with the packed XMTU/OPV1 columns ("   01700.000")
+    plant = df[df.CODE == 2].iloc[0]
+    assert plant.OPV1 == 1700.0 and plant.XMTU == 0
+    # season machinery works on the real rotation
+    df["opc_id"] = "CropRot_1"
+    df["start_year"] = 2018
+    seasons = list(iter_seasons(df))
+    assert seasons and all(s["harvest_date"] > s["plantation_date"] for s in seasons)
+    ok, msg = validate_schedule(df)
+    assert ok, msg
+
+
+def test_golden_opc_roundtrip_format():
+    from geo_epic_ray.sources.fixed_width import format_opc, parse_opc
+
+    text = open(f"{WS}/opc/files/CropRot_1.OPC").read()
+    df, _ = parse_opc(text, start_year=2018)
+    again, _ = parse_opc(format_opc(df, 2018, "CropRot_1"), start_year=None)
+    np.testing.assert_array_equal(again[["Yid", "Mn", "Dy", "CODE"]], df[["Yid", "Mn", "Dy", "CODE"]])
+    np.testing.assert_allclose(again["OPV1"], df["OPV1"])
+
+
+def test_golden_cropcom():
+    from geo_epic_ray.sources.parmio import combine_cropcom, parse_cropcom
+
+    df = parse_cropcom(open(f"{WS}/model/CROPCOM.DAT").read())
+    soyb = df[df["NAME"].astype(str).str.strip() == "SOYB"].iloc[0]
+    assert soyb["WA"] == 25.00
+    assert soyb["TBS"] == 10.00
+    # split columns exist and recombine to the original value
+    assert soyb["DLAP1_v1"] == 15.0
+    assert soyb["DLAP1_v2"] == pytest.approx(5.0, abs=1e-6)
+    back = combine_cropcom(df)
+    assert back[back["NAME"].astype(str).str.strip() == "SOYB"].iloc[0][
+        "DLAP1"
+    ] == pytest.approx(15.05)
+
+
+def test_golden_ieparm():
+    from geo_epic_ray.sources.parmio import parse_ieparm
+
+    df = parse_ieparm(open(f"{WS}/model/ieParm.DAT").read())
+    assert df.shape == (1, 180)
+    assert not df.isnull().any().any()
+
+
+def test_golden_config():
+    from geo_epic_ray.sources.config import Config
+
+    cfg = Config(f"{WS}/config.yml")
+    d = cfg.as_dict()
+    assert "num_of_workers" in d or len(d) > 3  # parses + resolves
