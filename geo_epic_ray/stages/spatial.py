@@ -93,7 +93,7 @@ class KnnJoin:
     """Actor-pool stage: nearest weather grid point (haversine, k=1,
     lowest-id ties)."""
 
-    def __init__(self, grid_ref, res: int = 6):
+    def __init__(self, grid_ref, res: int = 8):
         g = get(grid_ref)
         self.index = KnnIndex(
             g["grid_id"].to_numpy(), g["lat"].to_numpy(), g["lon"].to_numpy(), res=res
@@ -110,7 +110,7 @@ class SpatialEnrich:
     """Fused actor stage: PIP + kNN + tile in one pass over each batch —
     one actor pool instead of three, one Arrow copy instead of three."""
 
-    def __init__(self, soil_ref, grid_ref, pip_res: int = 8, knn_res: int = 6):
+    def __init__(self, soil_ref, grid_ref, pip_res: int = 8, knn_res: int = 8):
         self.pip = PipJoin(soil_ref, pip_res)
         self.knn = KnnJoin(grid_ref, knn_res)
 
@@ -129,7 +129,7 @@ class SpatialEnrich:
 
 
 def spatial_enrich_fn(
-    batch: pa.Table, *, soil_ref, grid_ref, pip_res: int = 8, knn_res: int = 6
+    batch: pa.Table, *, soil_ref, grid_ref, pip_res: int = 8, knn_res: int = 8
 ) -> pa.Table:
     """Stateless-task variant of :class:`SpatialEnrich` for
     ``map_batches(spatial_enrich_fn, fn_kwargs=...)``: the indexes are
