@@ -325,3 +325,69 @@ def run_flagship_fragments(
     skipped["skipped"] = True
     report["skipped"] = False
     return pd.concat([report, skipped], ignore_index=True)
+
+
+def read_flagship_output(out_dir: str, *, columns: list[str] | None = None) -> rd.Dataset:
+    """Read back a flagship output directory (either write mode),
+    consulting the manifest so orphan fragments from an in-flight or
+    crashed run are excluded."""
+    import glob as _glob
+    import os
+
+    manifest = Manifest(out_dir)
+    committed = manifest.completed()
+    shard_keys = {k[len("shard-"):] for k in committed if k.startswith("shard-")}
+    part_keys = {k for k in committed if not k.startswith("shard-")}
+    files = []
+    for f in _glob.glob(os.path.join(out_dir, "part=*", "*.parquet")):
+        base = os.path.basename(f)
+        if base == "data.parquet":
+            key = os.path.basename(os.path.dirname(f))[len("part="):]
+            # shuffle layout: the part key itself is the manifest unit;
+            # compacted fragment layout: data.parquet only ever contains
+            # committed fragments, so shard-based manifests accept it
+            if key in part_keys or shard_keys:
+                files.append(f)
+        elif base.startswith("frag-"):
+            shard = "-".join(base.split("-")[1:-1])
+            if shard in shard_keys:
+                files.append(f)
+    if not files:
+        raise FileNotFoundError(f"no committed output under {out_dir}")
+    return rd.read_parquet(files, columns=columns)
+
+
+def compact_partitions(out_dir: str) -> pd.DataFrame:
+    """Optional maintenance pass for the fragment layout: merge each
+    partition's committed fragments into one data.parquet (removing the
+    fragments), converting the directory to the one-file-per-partition
+    shape without ever shuffling. Runs as one Ray task per partition."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    manifest = Manifest(out_dir)
+    committed = manifest.completed()
+    shard_keys = {k[len("shard-"):] for k in committed if k.startswith("shard-")}
+
+    @ray.remote
+    def compact_one(pdir: str) -> tuple[str, int]:
+        frags = []
+        for f in sorted(_glob.glob(os.path.join(pdir, "frag-*.parquet"))):
+            shard = "-".join(os.path.basename(f).split("-")[1:-1])
+            if shard in shard_keys:
+                frags.append(f)
+        if not frags:
+            return os.path.basename(pdir), 0
+        table = pa.concat_tables([pq.read_table(f) for f in frags])
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(pdir, "data.parquet"))
+        for f in frags:
+            os.remove(f)
+        return os.path.basename(pdir), table.num_rows
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, "part=*")))
+    results = ray.get([compact_one.remote(p) for p in parts])
+    return pd.DataFrame(results, columns=["partition", "rows"])

@@ -643,3 +643,53 @@ def simulation_fleet(sf_dir: str):
     enriched = flagship_enrich(_docs(sf_dir), skew=False, concurrency=2, batch_size=4096)
     ok, _bad = run_simulation_fleet(enriched, concurrency=2, canary=True)
     return ok.select_columns(["doc_id", "mukey", "grid_id", "yield"])
+
+
+# --- exact n-gram Jaccard, oracle-checked -----------------------------------
+
+
+@register(
+    "jaccard_adjacent",
+    """
+    WITH pairs AS (
+      SELECT d1.doc_id AS id_a, d1.text AS ta, d2.text AS tb
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    ),
+    sa AS (
+      SELECT DISTINCT id_a, substr(ta, CAST(i AS INT), 5) AS sh
+      FROM (SELECT id_a, ta, unnest(generate_series(1, greatest(1, length(ta) - 4))) AS i FROM pairs)
+    ),
+    sb AS (
+      SELECT DISTINCT id_a, substr(tb, CAST(i AS INT), 5) AS sh
+      FROM (SELECT id_a, tb, unnest(generate_series(1, greatest(1, length(tb) - 4))) AS i FROM pairs)
+    ),
+    inter AS (SELECT sa.id_a, count(*) AS n FROM sa JOIN sb ON sa.id_a = sb.id_a AND sa.sh = sb.sh GROUP BY 1),
+    na AS (SELECT id_a, count(*) AS n FROM sa GROUP BY 1),
+    nb AS (SELECT id_a, count(*) AS n FROM sb GROUP BY 1)
+    SELECT na.id_a AS id_a,
+           round_even(COALESCE(inter.n, 0) * 1.0 / (na.n + nb.n - COALESCE(inter.n, 0)), 6) AS jaccard
+    FROM na JOIN nb USING (id_a) LEFT JOIN inter USING (id_a)
+    """,
+)
+def jaccard_adjacent(sf_dir: str):
+    """Exact char-5-gram Jaccard of each adjacent doc pair (id, id+1) —
+    the near-dedup verify kernel, oracle-checked against a DuckDB
+    substring-set computation. Pair texts come from a broadcast lookup at
+    gate scale; at corpus scale the pairing is a bucketed self-join."""
+    from ..stages.dedup import jaccard
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lookup_ref = ray.put(dict(zip(docs.doc_id, docs.text)))
+    max_id = int(docs.doc_id.max())
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairwise(b: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(lookup_ref)
+        b = b[b.doc_id < max_id]
+        out = [
+            round(jaccard(t, texts[i + 1], 5), 6)
+            for i, t in zip(b.doc_id, b.text)
+        ]
+        return pd.DataFrame({"id_a": b.doc_id, "jaccard": out})
+
+    return ds.map_batches(pairwise, batch_format="pandas")

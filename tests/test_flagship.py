@@ -166,3 +166,39 @@ def test_fragment_mode_resume_and_crash_sweep(ray_session, tmp_path):
 
     lat, lon = doc_point_skewed(ids)
     np.testing.assert_array_equal(t["mukey"].to_numpy(), extent.soil_mukey_of(lat, lon))
+
+
+def test_read_output_and_compaction(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geo_epic_ray.fixtures.documents import documents_batch
+    from geo_epic_ray.pipelines.flagship import (compact_partitions,
+                                                 read_flagship_output,
+                                                 run_flagship_fragments)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(
+            documents_batch(np.arange(i * 1000, (i + 1) * 1000, dtype=np.int64)),
+            str(src / f"s{i}.parquet"),
+        )
+    out = str(tmp_path / "out")
+    run_flagship_fragments(str(src), out, input_fingerprint="c1", wave_size=2)
+
+    ds = read_flagship_output(out, columns=["doc_id", "mukey"])
+    assert ds.count() == 3000
+
+    # orphan fragment from a hypothetical in-flight shard is excluded
+    part = glob.glob(f"{out}/part=*")[0]
+    orphan = f"{part}/frag-notcommitted.parquet-deadbeef.parquet"
+    pq.write_table(documents_batch(np.arange(5, dtype=np.int64)), orphan)
+    assert read_flagship_output(out).count() == 3000
+
+    os.remove(orphan)
+    rep = compact_partitions(out)
+    assert rep.rows.sum() == 3000
+    assert not glob.glob(f"{out}/part=*/frag-*.parquet")
+    assert read_flagship_output(out).count() == 3000
