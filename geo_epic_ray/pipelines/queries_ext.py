@@ -693,3 +693,46 @@ def jaccard_adjacent(sf_dir: str):
         return pd.DataFrame({"id_a": b.doc_id, "jaccard": out})
 
     return ds.map_batches(pairwise, batch_format="pandas")
+
+
+# --- distinct counting: exact (oracle) + HLL sketch --------------------------
+
+
+@register(
+    "distinct_users_exact",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def distinct_users_exact(sf_dir: str):
+    """Exact distinct count via per-batch partial unique sets + driver
+    combine (the pre-aggregated exact path; HLL below is the sketch
+    path for cardinalities that outgrow it)."""
+    from ..stages.aggregates import partials_to_driver
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["event_type", "user_id"])
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.drop_duplicates(["event_type", "user_id"]).groupby(
+            "event_type", as_index=False
+        )["user_id"].nunique()
+        return g.rename(columns={"user_id": "n_users"})
+
+    return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
+
+
+@register("hll_distinct_users")
+def hll_distinct_users(sf_dir: str):
+    """HyperLogLog count-distinct (mergeable per-batch sketches) with its
+    exact answer and relative error alongside — approximate by design, so
+    rows-only at the gate; accuracy asserted in tests."""
+    from ..stages.sketches import hll_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = hll_distinct(ds, "user_id")
+    exact = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).user_id.nunique()
+    return pd.DataFrame(
+        {"estimate": [round(est, 1)], "exact": [exact],
+         "rel_err": [round(abs(est - exact) / max(1, exact), 4)]}
+    )

@@ -1,0 +1,108 @@
+"""Mergeable sketches: HyperLogLog distinct counting + Bloom membership.
+
+The reference has no sketches (SURVEY.md §2.5); these are the
+training-data-scale extensions for cardinality and membership where exact
+state would not fit. Both follow the guide's merge pattern: one small
+sketch per batch emitted from ``map_batches``, merged in a tiny final
+step — no shuffle of raw values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..fixtures.rng import splitmix64
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    if values.dtype.kind in ("i", "u"):
+        return splitmix64(values.astype(np.uint64))
+    # strings: stable FNV-ish via pandas hash (stable within a run; for
+    # cross-run stability hash the utf-8 bytes)
+    return pd.util.hash_array(np.asarray(values)).astype(np.uint64)
+
+
+class HLL:
+    """HyperLogLog with 2^p registers (standard bias-corrected estimate)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add(self, values: np.ndarray) -> "HLL":
+        h = _hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1, vectorized via
+        # float64 exponent extraction
+        f = rest.astype(np.float64)
+        exp = ((f.view(np.uint64) >> np.uint64(52)) & np.uint64(0x7FF)).astype(np.int64)
+        lz = 1086 - exp  # 1023 + 63 = exponent of 2^63 (top bit set)
+        rank = np.clip(lz + 1, 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        return HLL(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.sum(np.power(2.0, -self.registers.astype(np.float64)))
+        e = alpha * m * m / inv
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting for small range
+        return float(e)
+
+
+def hll_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate count-distinct of a column: one HLL per batch, merged
+    driver-side (each sketch is 4 KiB — merge is trivial)."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        h = HLL(p).add(b[col].to_numpy())
+        return pd.DataFrame({"registers": [h.registers.tobytes()]})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    acc = HLL(p)
+    for blob in parts.registers:
+        acc = acc.merge(HLL(p, np.frombuffer(blob, dtype=np.uint8).copy()))
+    return acc.estimate()
+
+
+class BloomFilter:
+    """Simple k-hash Bloom filter over int64/str keys — the broadcast
+    membership structure for semi-joins whose key set no longer fits as a
+    sorted array (guide: 'broadcast the key set or a Bloom filter of it')."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 4, bits: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h = _hash64(values)
+        out = np.empty((self.k, h.size), dtype=np.int64)
+        for i in range(self.k):
+            h = splitmix64(h + np.uint64(i * 0x9E3779B9))
+            out[i] = (h % np.uint64(self.n_bits)).astype(np.int64)
+        return out
+
+    def add(self, values: np.ndarray) -> "BloomFilter":
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return self
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        pos = self._positions(values)
+        hit = np.ones(values.shape[0], dtype=bool)
+        for i in range(self.k):
+            p = pos[i]
+            hit &= (self.bits[p // 8] & (1 << (p % 8)).astype(np.uint8)) != 0
+        return hit

@@ -1,0 +1,50 @@
+"""HLL + Bloom sketches: accuracy, mergeability, pipeline use."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_epic_ray.stages.sketches import HLL, BloomFilter
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 1 << 50, 50_000).astype(np.int64)
+    b = rng.integers(0, 1 << 50, 50_000).astype(np.int64)
+    true = np.union1d(a, b).size
+    h1 = HLL(12).add(a)
+    h2 = HLL(12).add(b)
+    est = h1.merge(h2).estimate()
+    assert abs(est - true) / true < 0.05  # ~1.04/sqrt(4096) = 1.6% typical
+    # merge == add-all
+    est_all = HLL(12).add(np.concatenate([a, b])).estimate()
+    assert est == pytest.approx(est_all)
+
+
+def test_hll_small_range_linear_counting():
+    vals = np.arange(100, dtype=np.int64)
+    est = HLL(12).add(vals).estimate()
+    assert abs(est - 100) < 5
+
+
+def test_hll_distinct_pipeline(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.sketches import hll_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet", columns=["user_id"])
+    est = hll_distinct(ds, "user_id")
+    true = pd.read_parquet(
+        "/root/testdata/sf0.01/events.parquet", columns=["user_id"]
+    ).user_id.nunique()
+    assert abs(est - true) / true < 0.05
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(3)
+    members = rng.integers(0, 1 << 40, 20_000).astype(np.int64)
+    others = rng.integers(1 << 41, 1 << 42, 20_000).astype(np.int64)
+    bf = BloomFilter(n_bits=1 << 19, k=4).add(members)
+    assert bf.contains(members).all()  # no false negatives, ever
+    fp = bf.contains(others).mean()
+    assert fp < 0.05
