@@ -736,3 +736,61 @@ def hll_distinct_users(sf_dir: str):
         {"estimate": [round(est, 1)], "exact": [exact],
          "rel_err": [round(abs(est - exact) / max(1, exact), 4)]}
     )
+
+
+# --- session windows (gap-based sessionization) ------------------------------
+
+
+@register(
+    "session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, us, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           (max(us) - min(us)) // 1000000 AS duration_s,
+           round_even(sum(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_windows(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the stream-shaped operator Ray Data expresses as per-key map_groups
+    over ts-sorted events (SURVEY.md §2.9 / guide's windowing pattern)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        us = g.ts.astype("int64")  # exact microseconds, like the SQL side
+        new = (us.diff() > 1_800_000_000) | us.diff().isna()
+        sid = new.cumsum().astype("int64")
+        out = (
+            g.assign(session_id=sid.values, us=us.values, one=1)
+            .groupby("session_id", as_index=False)
+            .agg(n_events=("one", "sum"), umin=("us", "min"),
+                 umax=("us", "max"), sum_value=("value", "sum"))
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g.user_id.iloc[0],
+                "session_id": out.session_id,
+                "n_events": out.n_events,
+                "duration_s": (out.umax - out.umin) // 1_000_000,
+                "sum_value": out.sum_value.round(4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
