@@ -164,7 +164,7 @@ def geo_enrich_full(sf_dir: str):
 @register(
     "geo_tile_zonal",
     f"SELECT {_TILE_SQL} AS tile_id, count(*) AS n_docs,"
-    f" sum(n_chars) AS sum_chars, round_even(avg(n_chars), 6) AS avg_chars"
+    f" CAST(sum(n_chars) AS BIGINT) AS sum_chars, round_even(avg(n_chars), 6) AS avg_chars"
     f" FROM documents GROUP BY 1",
 )
 def geo_tile_zonal(sf_dir: str):

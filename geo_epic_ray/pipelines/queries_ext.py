@@ -104,6 +104,7 @@ def monthly_climate_stats_q(sf_dir: str):
         out["UAVO"] = 3.5
         out["PRW1"] = 0.0
         out["WI"] = 0.0
+        out["month"] = out["month"].astype("int64")
         return out[["event_type", "month"] + INP_COLUMNS]
 
     return (
@@ -546,7 +547,9 @@ def daily_collapse(sf_dir: str):
     def final(p: pd.DataFrame) -> pd.DataFrame:
         g = p.groupby("d", as_index=False).sum()
         g["avg_value"] = (g.s / g.n).round(6)
-        g["d"] = pd.to_datetime(g.d).dt.date
+        # match the oracle's DATE dtype (datetime64, midnight) exactly —
+        # python date objects hash/serialize differently
+        g["d"] = pd.to_datetime(g.d)
         return g.drop(columns=["s"])
 
     return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
