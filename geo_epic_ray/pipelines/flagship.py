@@ -229,7 +229,10 @@ def run_flagship_fragments(
     from ..stages.spatial import doc_nums
     from ..state.manifest import Manifest, span_hash_of
 
-    files = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+    if isinstance(input_dir, (list, tuple)):
+        files = sorted(input_dir)
+    else:
+        files = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {input_dir}")
     manifest = Manifest(out_dir)
@@ -276,8 +279,9 @@ def run_flagship_fragments(
                 )
                 pq.write_table(part, frag + ".tmp")
                 os.rename(frag + ".tmp", frag)
+                h = span_hash_of(part)  # 'no-spans' for span-less tables
                 rows.append((f"shard-{shard}", key, frag, part.num_rows,
-                             int(span_hash_of(part), 16)))
+                             int(h, 16) if h != "no-spans" else 0))
         return pa.table(
             {
                 "shard": [r[0] for r in rows],

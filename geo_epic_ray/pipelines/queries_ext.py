@@ -797,3 +797,81 @@ def session_windows(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+# --- resumable write through the gate ----------------------------------------
+
+
+@register("flagship_write_resume")
+def flagship_write_resume(sf_dir: str):
+    """The fragment-layout resumable write, exercised end-to-end at gate
+    scale: writes the enriched sf documents into salted spatial partition
+    fragments under /tmp, then returns the per-shard report. Running the
+    gate twice demonstrates the skip (second pass recomputes nothing)."""
+    import hashlib
+    import os
+
+    from .flagship import run_flagship_fragments
+
+    out = f"/tmp/graft_gate_write/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(out, exist_ok=True)
+    report = run_flagship_fragments(
+        [f"{sf_dir}/documents.parquet"], out,
+        input_fingerprint=f"gate-{sf_dir}", wave_size=8,
+    )
+    # stable rows-only shape: one row per shard with its row count
+    done = report.groupby("shard", as_index=False)["rows"].sum()
+    return done.sort_values("shard").reset_index(drop=True)
+
+
+# --- predicate pushdown at the read ------------------------------------------
+
+
+@register(
+    "pushdown_read",
+    """
+    SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+    WHERE l_quantity >= 49
+    """,
+)
+def pushdown_read(sf_dir: str):
+    """Row filter pushed into the parquet scan (pyarrow dataset
+    expression) — rows never enter the pipeline; the guide's
+    prune-at-the-read rule as a gate-checked operator."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+        filter=(pc.field("l_quantity") >= 49),
+    )
+    return ds
+
+
+# --- SIT validator through the gate ------------------------------------------
+
+
+@register("validate_sites")
+def validate_sites(sf_dir: str):
+    """M8 SIT validation over a derived site table (lat/lon from the doc
+    points, synthetic elevation/slope with planted violations)."""
+    from ..geo.extent import doc_point
+    from ..stages.validate import validate_sit_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b.doc_id.to_numpy()
+        lat, lon = doc_point(ids)
+        elev = np.where(ids % 97 == 0, 9000.0, 300.0 + (ids % 50))  # planted bad rows
+        return pd.DataFrame(
+            {
+                "site_id": ids, "lat": lat, "lon": lon, "elevation": elev,
+                "slope_length": (ids % 80).astype(float),
+                "slope_steep": ((ids % 10) / 10.0),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").map_batches(
+        validate_sit_batch, batch_format="pandas"
+    )
