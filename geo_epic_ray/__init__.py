@@ -19,3 +19,29 @@ Reference semantics are cited per-module as ``/root/reference/<file>:<lines>``.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API — keeps `import geo_epic_ray` light (no Ray import
+    until a pipeline is actually used)."""
+    surface = {
+        "flagship_enrich": "geo_epic_ray.pipelines.flagship",
+        "run_flagship": "geo_epic_ray.pipelines.flagship",
+        "run_flagship_fragments": "geo_epic_ray.pipelines.flagship",
+        "read_flagship_output": "geo_epic_ray.pipelines.flagship",
+        "compact_partitions": "geo_epic_ray.pipelines.flagship",
+        "synthetic_documents": "geo_epic_ray.pipelines.flagship",
+        "run_simulation_fleet": "geo_epic_ray.pipelines.simulate",
+        "QUERIES": "geo_epic_ray.pipelines.queries",
+        "ORACLES": "geo_epic_ray.pipelines.queries",
+        "select": "geo_epic_ray.stages.select_dsl",
+        "KnnIndex": "geo_epic_ray.geo.knn",
+        "PolygonIndex": "geo_epic_ray.geo.pip",
+        "Manifest": "geo_epic_ray.state.manifest",
+        "RoutineRegistry": "geo_epic_ray.pipelines.registry",
+    }
+    if name in surface:
+        import importlib
+
+        return getattr(importlib.import_module(surface[name]), name)
+    raise AttributeError(f"module 'geo_epic_ray' has no attribute {name!r}")
