@@ -875,3 +875,40 @@ def validate_sites(sf_dir: str):
     return ds.map_batches(derive, batch_format="pandas").map_batches(
         validate_sit_batch, batch_format="pandas"
     )
+
+
+# --- as-of join (custom operator per north rule) -----------------------------
+
+
+@register(
+    "asof_last_purchase",
+    """
+    WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, round_even(p.value, 4) AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_last_purchase(sf_dir: str):
+    """For every click, the value of the same user's latest prior (or
+    simultaneous) purchase — the as-of join as bucketed merge_asof,
+    oracle-checked against DuckDB's native ASOF JOIN."""
+    from ..stages.joins import asof_join
+
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ).map_batches(lambda b: b[b.event_type == "click"].drop(columns="event_type"),
+                  batch_format="pandas")
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_type"]
+    ).map_batches(lambda b: b[b.event_type == "purchase"].drop(columns="event_type"),
+                  batch_format="pandas")
+    out = asof_join(clicks, purchases, by="user_id", on="ts", right_cols=["value"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_id": b.event_id, "last_purchase_value": b.value_asof.round(4)}
+        )
+
+    return out.map_batches(finish, batch_format="pandas")

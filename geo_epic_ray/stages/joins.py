@@ -137,3 +137,43 @@ def bucket_join(
         return l.merge(r, on=on, how=how)
 
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> rd.Dataset:
+    """As-of join: for each left row, the latest right row of the same
+    ``by`` key with ``on`` <= left's ``on`` (the guide's pattern: bucket
+    by key, pandas merge_asof per bucket). Both sides shuffle once on the
+    key hash; within a bucket merge_asof is a sorted vectorized pass."""
+
+    lcols = left.schema().names
+    rkeep = [by, on] + right_cols
+
+    def tag(side: int, keep: list[str]):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[keep].copy()
+            b["__side"] = side
+            b["__bucket"] = (pd.util.hash_array(b[by].to_numpy()) % 64).astype("int64")
+            return b
+
+        return f
+
+    u = left.map_batches(tag(0, lcols), batch_format="pandas").union(
+        right.map_batches(tag(1, rkeep), batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lcols].sort_values(on, kind="stable")
+        r = g[g["__side"] == 1][rkeep].sort_values(on, kind="stable")
+        r = r.rename(columns={c: c + suffix for c in right_cols})
+        out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return out
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
