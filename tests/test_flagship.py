@@ -202,3 +202,41 @@ def test_read_output_and_compaction(ray_session, tmp_path):
     assert rep.rows.sum() == 3000
     assert not glob.glob(f"{out}/part=*/frag-*.parquet")
     assert read_flagship_output(out).count() == 3000
+
+
+def test_write_modes_produce_identical_rows(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from geo_epic_ray.fixtures.documents import documents_batch
+    from geo_epic_ray.pipelines.flagship import (run_flagship,
+                                                 run_flagship_fragments,
+                                                 synthetic_documents)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(
+            documents_batch(np.arange(i * 2500, (i + 1) * 2500, dtype=np.int64)),
+            str(src / f"s{i}.parquet"),
+        )
+    shuffle_out = str(tmp_path / "shuffle")
+    frag_out = str(tmp_path / "frag")
+    run_flagship(
+        synthetic_documents(5000), shuffle_out, input_fingerprint="eq",
+        skew=True, target_rows=10**9,
+    )
+    run_flagship_fragments(str(src), frag_out, input_fingerprint="eq", skew=True)
+
+    cols = ["doc_id", "mukey", "grid_id", "tile_id"]
+    a = (
+        pads.dataset(glob.glob(f"{shuffle_out}/part=*/data.parquet"))
+        .to_table(columns=cols).sort_by("doc_id")
+    )
+    b = (
+        pads.dataset(glob.glob(f"{frag_out}/part=*/frag-*.parquet"))
+        .to_table(columns=cols).sort_by("doc_id")
+    )
+    assert a.equals(b)

@@ -99,3 +99,40 @@ def test_validate_schedule_detects_year_gap():
     df2["Yid"] = df2["Yid"].replace(1, 3)  # creates a gap if rotation has 1 year
     ok, msg = so.validate_schedule(df2, duration=3)
     assert not ok and "Missing" in msg
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(-40, 40))
+def test_edit_plantation_date_properties(shift):
+    """Property: after moving the plantation date by any shift, the
+    plantation row lands exactly on the requested date, the op count is
+    unchanged, and no op of that crop-year moves outside [new_plant-14d,
+    old_harvest+1d] on the early side."""
+    df = _one_rotation()
+    s = next(so.iter_seasons(df))
+    new_date = s["plantation_date"] + pd.Timedelta(days=shift)
+    out = so.edit_plantation_date(df, new_date, s["crop_code"])
+    assert len(out) == len(df)
+    od = so.with_dates(out)
+    plant = od[(od.CODE.isin(so.PLANTATION_CODES)) & (od.CRP == s["crop_code"])]
+    assert plant.Mn.iloc[0] == new_date.month and plant.Dy.iloc[0] == new_date.day
+    year_ops = od[(od.CRP == s["crop_code"]) & (od.Yid == 1)]
+    assert (year_ops.date >= new_date - pd.Timedelta(days=14)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 300), st.integers(0, 27))
+def test_update_then_remove_is_identity_on_new_op(code_offset, day):
+    df = _one_rotation()
+    op = {"opID": 900 + code_offset, "cropID": 3,
+          "date": f"2018-07-{day + 1:02d}", "OPV1": 1.5}
+    added = so.update_op(df, op, start_year=2018)
+    assert len(added) == len(df) + 1
+    removed = so.remove_ops(added, 2018, opID=op["opID"], date=op["date"])
+    a = removed.sort_values(["Yid", "Mn", "Dy", "CODE"]).reset_index(drop=True)
+    b = df.sort_values(["Yid", "Mn", "Dy", "CODE"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
