@@ -912,3 +912,111 @@ def asof_last_purchase(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+# --- J3: point raster sampling (oracle) --------------------------------------
+
+_RASTER_W = 1000  # (LON1-LON0)/PIXEL_DEG
+_RASTER_H = 1500  # (LAT1-LAT0)/PIXEL_DEG
+
+
+@register(
+    "raster_sample_at_sites",
+    None,  # SQL attached below (needs the lat/lon fragments)
+)
+def raster_sample_at_sites(sf_dir: str):
+    """J3/M10: sample the analytic raster at each doc's point — inverse
+    affine, clip to bounds, gather (reference raster_utils.py:111-144)."""
+    from ..geo import extent
+    from ..geo.affine import GridTransform
+    from ..stages.zonal import sample_raster_at_points
+
+    t = GridTransform(extent.LON0, extent.LAT0, extent.PIXEL_DEG, _RASTER_W, _RASTER_H)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        from ..geo.extent import doc_point
+
+        lat, lon = doc_point(b.doc_id.to_numpy())
+        return pd.DataFrame(
+            {"doc_id": b.doc_id,
+             "raster_value": sample_raster_at_points(lat, lon, t)}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _attach_raster_sql():
+    from ..geo import extent
+    from .queries import ORACLES, _LAT, _LON
+
+    px = (
+        f"least(greatest(CAST(floor(({_LON} - {extent.LON0}) / {extent.PIXEL_DEG}) AS BIGINT), 0), {_RASTER_W - 1})"
+    )
+    py = (
+        f"least(greatest(CAST(floor(({_LAT} - {extent.LAT0}) / {extent.PIXEL_DEG}) AS BIGINT), 0), {_RASTER_H - 1})"
+    )
+    ORACLES["raster_sample_at_sites"] = (
+        f"SELECT doc_id, CAST(({px} * 31 + {py} * 17) % 100 AS DOUBLE) AS raster_value"
+        f" FROM documents"
+    )
+
+
+_attach_raster_sql()
+
+
+# --- J4: true zonal statistics over pixel space (oracle) ---------------------
+
+
+@register(
+    "zonal_raster_mean",
+    None,  # SQL attached below
+)
+def zonal_raster_mean(sf_dir: str):
+    """J4: per-polygon mean of the raster pixels whose centers the polygon
+    contains (reference sample_raster_aggregated, raster_utils.py:53-108)
+    — distributed over pixel stripes, PIP-assigned, pre-combined."""
+    from ..fixtures.soil import soil_polygons_table
+    from ..geo import extent
+    from ..geo.affine import GridTransform
+    from ..geo.pip import PolygonIndex
+    from ..geo.wkb import decode_polygon
+    from ..stages.zonal import zonal_mean
+
+    soil = soil_polygons_table()
+    idx = PolygonIndex(
+        soil["mukey"].to_numpy(),
+        [decode_polygon(g) for g in soil["geometry"].to_pylist()],
+        res=8,
+    )
+    t = GridTransform(extent.LON0, extent.LAT0, extent.PIXEL_DEG, _RASTER_W, _RASTER_H)
+    out = zonal_mean(t, idx)
+    out["mukey"] = out.mukey.astype("int64")
+    out["n_pixels"] = out.n_pixels.astype("int64")
+    return out[["mukey", "n_pixels", "mean_value"]]
+
+
+def _attach_zonal_sql():
+    from ..geo import extent
+    from .queries import ORACLES
+
+    # pixel centers: lon = LON0 + (px+0.5)*PIXEL; mukey = floor-grid cell of
+    # the center (identical to PIP on the rectangle polygons)
+    ORACLES["zonal_raster_mean"] = f"""
+    WITH px AS (SELECT unnest(generate_series(0, {_RASTER_W - 1})) AS px),
+    py AS (SELECT unnest(generate_series(0, {_RASTER_H - 1})) AS py),
+    pix AS (
+      SELECT px.px, py.py,
+             CAST((px.px * 31 + py.py * 17) % 100 AS DOUBLE) AS v,
+             (CAST(floor((({extent.LAT0} + (py.py + 0.5) * {extent.PIXEL_DEG}) - {extent.LAT0}) / {extent.SOIL_CELL_DEG}) AS BIGINT) * {extent.SOIL_NCOLS}
+              + CAST(floor((({extent.LON0} + (px.px + 0.5) * {extent.PIXEL_DEG}) - {extent.LON0}) / {extent.SOIL_CELL_DEG}) AS BIGINT)) AS mukey
+      FROM px, py
+    )
+    SELECT mukey, count(*) AS n_pixels, round_even(avg(v), 6) AS mean_value
+    FROM pix
+    WHERE mukey >= 0 AND mukey < {extent.SOIL_NROWS * extent.SOIL_NCOLS}
+    GROUP BY mukey
+    """
+
+
+_attach_zonal_sql()
