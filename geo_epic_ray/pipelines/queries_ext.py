@@ -1020,3 +1020,29 @@ def _attach_zonal_sql():
 
 
 _attach_zonal_sql()
+
+
+# --- workspace prepare (§3.2) ------------------------------------------------
+
+
+@register("prepare_run_info")
+def prepare_run_info(sf_dir: str):
+    """The workspace-prepare lifecycle over the sf documents: site points
+    -> PIP soil + kNN weather + tile + elevation/slope raster samples ->
+    the enriched run_info table (reference workspace/prepare.py, restated
+    as one Dataset lineage). Geo columns are oracle-covered by
+    geo_enrich_full; this pipeline adds the raster-sampled enrichments ->
+    rows-only."""
+    from ..geo.extent import doc_point
+    from .prepare import prepare_sites
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def seed_sites(b: pd.DataFrame) -> pd.DataFrame:
+        lat, lon = doc_point(b.doc_id.to_numpy())
+        return pd.DataFrame({"site_id": b.doc_id, "doc_id": b.doc_id, "lat": lat, "lon": lon})
+
+    sites = ds.map_batches(seed_sites, batch_format="pandas")
+    return prepare_sites(sites).select_columns(
+        ["site_id", "mukey", "grid_id", "tile_id", "elevation", "slope_steep"]
+    )
