@@ -1046,3 +1046,40 @@ def prepare_run_info(sf_dir: str):
     return prepare_sites(sites).select_columns(
         ["site_id", "mukey", "grid_id", "tile_id", "elevation", "slope_steep"]
     )
+
+
+# --- native hash-partitioned join (Ray Dataset.join) -------------------------
+
+
+@register(
+    "native_join_orders_nation",
+    """
+    SELECT n.n_name, count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def native_join_orders_nation(sf_dir: str):
+    """Ray Data's built-in hash-partitioned Dataset.join (both sides
+    shuffled on the key) — the big-big join path when neither side
+    broadcasts; counts aggregated per nation with partial combine."""
+    from ..stages.aggregates import partials_to_driver
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = o.join(c, join_type="inner", num_partitions=8,
+               on=("o_custkey",), right_on=("c_custkey",))
+    nref = ray.put(n)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        nn = ray.get(nref)
+        m = b.merge(nn, left_on="c_nationkey", right_on="n_nationkey")
+        g = m.assign(one=1).groupby("n_name", as_index=False)["one"].sum()
+        return g.rename(columns={"one": "n_orders"})
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("n_name", as_index=False)["n_orders"].sum()
+
+    return partials_to_driver(j.map_batches(partial, batch_format="pandas"), final)
