@@ -1083,3 +1083,42 @@ def native_join_orders_nation(sf_dir: str):
         return p.groupby("n_name", as_index=False)["n_orders"].sum()
 
     return partials_to_driver(j.map_batches(partial, batch_format="pandas"), final)
+
+
+# --- rasterize yields back to tiles (the north-star's output leg) ------------
+
+
+@register("rasterize_yield_tiles")
+def rasterize_yield_tiles(sf_dir: str):
+    """Crop-yield outputs rasterized back to the CDL-aligned tile lattice:
+    simulation fleet -> per-tile mean yield + doc count -> tile raster
+    rows (tile_id, tile_row, tile_col, mean_yield). Partial-combined; the
+    sim stage is engine-only, so rows-only at the gate."""
+    from ..geo import extent
+    from ..stages.aggregates import partials_to_driver
+    from .flagship import flagship_enrich
+    from .queries import _docs
+    from .simulate import run_simulation_fleet
+
+    enriched = flagship_enrich(_docs(sf_dir), skew=False, concurrency=2, batch_size=4096)
+    ok, _ = run_simulation_fleet(enriched, concurrency=2, canary=False)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("tile_id", as_index=False).agg(
+            s=("yield", "sum"), n=("yield", "size")
+        )
+        return g
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("tile_id", as_index=False).sum()
+        g["mean_yield"] = (g.s / g.n).round(4)
+        g["tile_row"] = g.tile_id // extent.N_TILE_COLS
+        g["tile_col"] = g.tile_id % extent.N_TILE_COLS
+        return g[["tile_id", "tile_row", "tile_col", "n", "mean_yield"]].rename(
+            columns={"n": "n_docs"}
+        )
+
+    return partials_to_driver(
+        ok.select_columns(["tile_id", "yield"]).map_batches(partial, batch_format="pandas"),
+        final,
+    )
