@@ -310,3 +310,70 @@ def validate_schedule(df: pd.DataFrame, duration: int | None = None) -> tuple[bo
         if not cd["CODE"].isin(HARVEST_CODES).any():
             return False, f"Crop {int(crop)} does not have any harvest codes"
     return True, ""
+
+
+def edit_crop_season(
+    df: pd.DataFrame, new_plant, new_harvest, crop_code: int
+) -> pd.DataFrame:
+    """Move both season endpoints (opc.py:557-601): stretch mid-season ops
+    linearly, clamp pre-plant ops into [new_plant-14d, new_plant] and
+    post-harvest ops into [new_harvest, new_harvest+14d], then set the
+    plantation and harvest rows."""
+    new_plant = pd.to_datetime(new_plant)
+    new_harvest = pd.to_datetime(new_harvest)
+    df = with_dates(df)
+    plant = _get_date(df, new_plant.year, PLANTATION_CODES, crop_code)
+    harv = _get_date(df, new_harvest.year, HARVEST_CODES, crop_code)
+    if crop_code not in plant or crop_code not in harv:
+        return df.drop(columns=["Yr", "date"])
+    df = _stretch_middle(df, new_plant, new_harvest, crop_code)
+    if plant[crop_code]["date"] != new_plant:
+        df = _adjust_pre_planting(df, new_plant, crop_code)
+        df.loc[plant[crop_code]["index"], ["Mn", "Dy"]] = [new_plant.month, new_plant.day]
+    if harv[crop_code]["date"] != new_harvest:
+        df = _adjust_post_harvest(df, new_harvest, crop_code)
+        df.loc[harv[crop_code]["index"], ["Mn", "Dy"]] = [new_harvest.month, new_harvest.day]
+    return df.drop(columns=["Yr", "date"])
+
+
+def generate_rotation(
+    crop_years: pd.DataFrame,
+    templates: dict[str, pd.DataFrame],
+    mapper: dict[int, str],
+    *,
+    fallow_name: str = "FALLOW",
+) -> tuple[pd.DataFrame, int]:
+    """Build a multi-year rotation from year-wise crop data + per-crop
+    template rotations (the reference's generate_opc script,
+    geoEpic/opc/generate_opc.py:131-201): one template per calendar year
+    (FALLOW when the crop code is unmapped or the year is missing),
+    appended with Yid re-basing; when planting/harvest dates are given
+    for a year, the crop season is edited afterwards.
+
+    ``crop_years``: columns year, crop_code[, planting_date, harvest_date].
+    ``templates``: template name -> exploded long OPC DataFrame.
+    Returns (rotation, start_year).
+    """
+    years = range(int(crop_years.year.min()), int(crop_years.year.max()) + 1)
+    start_year = int(crop_years.year.min())
+    res: pd.DataFrame | None = None
+    edits: list[tuple] = []
+    for year in years:
+        ydata = crop_years[crop_years.year == year]
+        if len(ydata):
+            code = ydata.iloc[0].crop_code
+            name = mapper.get(int(code), fallow_name)
+            p = ydata.iloc[0].get("planting_date")
+            h = ydata.iloc[0].get("harvest_date")
+            if pd.notnull(p) and pd.notnull(h):
+                edits.append((pd.to_datetime(p), pd.to_datetime(h), int(code)))
+        else:
+            name = fallow_name
+        t = templates[name].copy()
+        res = t if res is None else append_rotation(res, t)
+    res = res.reset_index(drop=True)
+    res["start_year"] = start_year
+    for p, h, code in edits:
+        res = edit_crop_season(res, p, h, code)
+        res["start_year"] = start_year
+    return res.reset_index(drop=True), start_year

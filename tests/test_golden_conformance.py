@@ -115,3 +115,59 @@ def test_golden_config():
     cfg = Config(f"{WS}/config.yml")
     d = cfg.as_dict()
     assert "num_of_workers" in d or len(d) > 3  # parses + resolves
+
+
+def test_generate_rotation_from_golden_templates():
+    """generate_opc semantics (geoEpic/opc/generate_opc.py) built from the
+    reference's own crop templates + MAPPING file."""
+    import pandas as pd
+
+    from geo_epic_ray.sources.fixed_width import parse_opc
+    from geo_epic_ray.stages.schedule_ops import (generate_rotation,
+                                                  iter_seasons,
+                                                  validate_schedule)
+
+    tpl_dir = f"{WS}/opc/crop_templates"
+    mapping = pd.read_csv(f"{tpl_dir}/MAPPING")
+    mapper = dict(zip(mapping.crop_code.astype(int), mapping.name))
+    templates = {}
+    for name in set(mapper.values()) | {"FALLOW"}:
+        df, _ = parse_opc(open(f"{tpl_dir}/{name}.OPC").read(), start_year=2018)
+        templates[name] = df
+
+    crop_years = pd.DataFrame(
+        {
+            "year": [2018, 2019, 2021],  # 2020 missing -> FALLOW
+            "crop_code": [1, 5, 1],      # CORN, SOYB, CORN
+            "planting_date": [None, "2019-05-10", None],
+            "harvest_date": [None, "2019-10-02", None],
+        }
+    )
+    rot, start_year = generate_rotation(crop_years, templates, mapper)
+    assert start_year == 2018
+    # 4 calendar years, Yids contiguous
+    assert sorted(rot.Yid.unique()) == [1, 2, 3, 4]
+    ok, msg = validate_schedule(rot)
+    assert ok, msg
+    # Faithfulness: the golden templates carry CRP=1 internally while the
+    # CSV crop_code for SOYB is 5 — the reference's edit_crop_season
+    # filters by CRP and silently NO-OPS in exactly this situation
+    # (opc.py:574-576); the 2019 season must keep the template dates.
+    seasons = [s for s in iter_seasons(rot) if s["plantation_date"].year == 2019]
+    assert seasons and seasons[0]["plantation_date"] == pd.Timestamp("2019-05-30")
+
+    # with matching codes the edit applies: CORN's template rows carry the
+    # EPIC crop code 2 internally, so a mapper entry {2: CORN} lines the
+    # CSV code up with the template CRP and the season edit takes effect
+    crop_years2 = pd.DataFrame(
+        {
+            "year": [2018, 2019],
+            "crop_code": [2, 2],
+            "planting_date": ["2018-04-15", None],
+            "harvest_date": ["2018-09-20", None],
+        }
+    )
+    rot2, _ = generate_rotation(crop_years2, templates, {2: "CORN"})
+    s18 = [s for s in iter_seasons(rot2) if s["plantation_date"].year == 2018]
+    assert s18 and s18[0]["plantation_date"] == pd.Timestamp("2018-04-15")
+    assert s18[0]["harvest_date"] == pd.Timestamp("2018-09-20")
