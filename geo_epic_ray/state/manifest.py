@@ -36,6 +36,8 @@ class PartitionRecord:
     input_fingerprint: str
     row_count: int
     span_hash: str
+    elapsed_s: float = 0.0  # write duration — the per-partition metric
+    bytes_written: int = 0
 
 
 def span_hash_of(table: pa.Table, span_col: str = "spans", id_col: str = "doc_id") -> str:
@@ -115,10 +117,14 @@ class Manifest:
         self, key: str, table: pa.Table, input_fingerprint: str
     ) -> PartitionRecord:
         """Atomically write one partition's data + manifest row."""
+        import time
+
+        t0 = time.monotonic()
         part_dir = os.path.join(self.out_dir, f"part={key}")
         tmp = tempfile.mkdtemp(dir=self.out_dir, prefix=f".tmp-{key}-")
         try:
             pq.write_table(table, os.path.join(tmp, "data.parquet"))
+            nbytes = os.path.getsize(os.path.join(tmp, "data.parquet"))
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
             os.rename(tmp, part_dir)
@@ -130,6 +136,8 @@ class Manifest:
             input_fingerprint=input_fingerprint,
             row_count=table.num_rows,
             span_hash=span_hash_of(table),
+            elapsed_s=round(time.monotonic() - t0, 4),
+            bytes_written=nbytes,
         )
         tmp_json = os.path.join(self.dir, f".part-{key}.json.tmp")
         with open(tmp_json, "w") as fh:
