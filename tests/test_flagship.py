@@ -240,3 +240,22 @@ def test_write_modes_produce_identical_rows(ray_session, tmp_path):
         .to_table(columns=cols).sort_by("doc_id")
     )
     assert a.equals(b)
+
+
+def test_engine_matches_committed_golden_output(ray_session):
+    """FIXTURES.md §6: the committed golden file was produced by the
+    ORACLE path (floor-grid mukey, brute-force haversine kNN, affine
+    tiles) at seed 42 — the engine pipeline must reproduce it row-exactly."""
+    import pandas as pd
+
+    from geo_epic_ray.pipelines.flagship import flagship_enrich, synthetic_documents
+
+    golden = pd.read_parquet("tests/golden/enriched_smoke_1000.parquet")
+    got = (
+        flagship_enrich(synthetic_documents(1000), skew=True, concurrency=2)
+        .select_columns(["doc_id", "lat", "lon", "mukey", "grid_id", "tile_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden.sort_values("doc_id").reset_index(drop=True))
