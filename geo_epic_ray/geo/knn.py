@@ -73,6 +73,7 @@ class KnnIndex:
             )[0]
         )
         self._cand_cache: dict[int, np.ndarray] = {}
+        self._guarantee_km: dict[int, float] = {}
         # padded candidate matrix: one row per seen query cell, columns are
         # id-sorted candidate indices, -1-padded at the end. Lets a whole
         # batch resolve with one gather + einsum instead of a per-cell loop.
@@ -129,6 +130,7 @@ class KnnIndex:
             np.sort(np.concatenate(groups)) if groups else np.empty(0, dtype=np.int64)
         )
         self._cand_cache[cellkey] = cand
+        self._guarantee_km[cellkey] = (ring - 1) * self.min_cell_km * 0.999
         return cand
 
     def _cand_matrix_rows(self, cellkeys: np.ndarray) -> np.ndarray:
@@ -181,4 +183,50 @@ class KnnIndex:
         out_id[ok] = self.gid[idx[ok]]
         best = np.clip(dots[rng, j], -1.0, 1.0)
         out_d[ok] = EARTH_RADIUS_KM * np.arccos(best[ok])
+        return out_id, out_d
+
+
+    def query_k(self, qlat: np.ndarray, qlon: np.ndarray, k: int):
+        """Exact k-nearest reference ids + distances per query point
+        (reference find_nearest(k), geoEpic/utils/raster_utils.py:16-30).
+        Candidate sets guarantee the 1-NN; queries whose k-th candidate
+        distance exceeds the explored-ring guarantee (or with < k
+        candidates) fall back to brute force — rare, and exactness wins.
+        """
+        nq = qlat.shape[0]
+        out_id = np.full((nq, k), -1, dtype=np.int64)
+        out_d = np.full((nq, k), np.inf, dtype=np.float64)
+        if nq == 0 or self.gid.size == 0:
+            return out_id, out_d
+        qxyz = _unit_xyz(qlat, qlon)
+        rows = np.clip(((qlat - LAT0) / self.dlat).astype(np.int64), 0, self.n - 1)
+        cols = np.clip(((qlon - LON0) / self.dlon).astype(np.int64), 0, self.n - 1)
+        flat = rows * self.n + cols
+        for cellkey, sel in _sort_split(flat):
+            cand = self._cell_candidates(cellkey)
+            guarantee = self._guarantee_km.get(cellkey, 0.0)
+            exactable = cand.size >= k
+            if exactable:
+                dots = qxyz[sel] @ self.gxyz[cand].T
+                kk = min(k, cand.size)
+                top = np.argpartition(-dots, kth=kk - 1, axis=1)[:, :kk]
+                top_d = EARTH_RADIUS_KM * np.arccos(
+                    np.clip(np.take_along_axis(dots, top, axis=1), -1.0, 1.0)
+                )
+                order = np.lexsort((cand[top], top_d), axis=1)
+                top = np.take_along_axis(top, order, axis=1)
+                top_d = np.take_along_axis(top_d, order, axis=1)
+                ok = top_d[:, -1] <= guarantee
+                out_id[sel[ok]] = self.gid[cand[top[ok]]]
+                out_d[sel[ok]] = top_d[ok]
+                pending = sel[~ok]
+            else:
+                pending = sel
+            for i in pending:  # exact fallback: full scan for this point
+                d_all = EARTH_RADIUS_KM * np.arccos(
+                    np.clip(self.gxyz @ qxyz[i], -1.0, 1.0)
+                )
+                order = np.lexsort((self.gid, d_all))[:k]
+                out_id[i, : order.size] = self.gid[order]
+                out_d[i, : order.size] = d_all[order]
         return out_id, out_d

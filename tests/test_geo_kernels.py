@@ -128,3 +128,32 @@ def test_haversine_known_value():
     # ~111.19 km per degree of latitude at constant longitude
     d = haversine_km(np.array([35.0]), np.array([-97.0]), np.array([36.0]), np.array([-97.0]))
     assert abs(d[0] - 111.1949) < 0.01
+
+
+def test_polygon_index_with_holes():
+    def sq(x0, y0, s):
+        return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]])
+
+    donut = [sq(-98.0, 36.0, 1.0), sq(-97.7, 36.3, 0.4)]  # exterior + hole
+    solid = [sq(-96.8, 36.0, 0.5)]
+    idx = PolygonIndex(np.array([10, 20]), [donut, solid], res=8)
+    got = idx.lookup(
+        np.array([36.5, 36.45, 36.2, 36.1]),
+        np.array([-97.5, -97.95, -96.6, -99.5]),
+    )
+    # in-hole -> -1, in-ring -> 10, in-solid -> 20, outside -> -1
+    np.testing.assert_array_equal(got, [-1, 10, 20, -1])
+
+
+def test_knn_query_k_exact():
+    from geo_epic_ray.fixtures.weather import weather_grid_table
+
+    wg = weather_grid_table()
+    gid = wg["grid_id"].to_numpy()
+    glat, glon = wg["lat"].to_numpy(), wg["lon"].to_numpy()
+    idx = KnnIndex(gid, glat, glon)
+    lat, lon = extent.doc_point(np.arange(1200, dtype=np.int64))
+    got_id, got_d = idx.query_k(lat, lon, 4)
+    exp_id, exp_d = brute_force_knn(lat, lon, glat, glon, gid, k=4)
+    np.testing.assert_array_equal(got_id, exp_id)
+    np.testing.assert_allclose(got_d, exp_d, atol=1e-6)
