@@ -1122,3 +1122,21 @@ def rasterize_yield_tiles(sf_dir: str):
         ok.select_columns(["tile_id", "yield"]).map_batches(partial, batch_format="pandas"),
         final,
     )
+
+
+# --- text normalization (oracle) ---------------------------------------------
+
+
+@register(
+    "normalize_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+)
+def normalize_text_q(sf_dir: str):
+    from ..stages.text import normalize_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(ds).select_columns(["doc_id", "text_norm"])

@@ -122,3 +122,22 @@ def fingerprints(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id")
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def normalize_text(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Text normalization (training-data preprocessing): lowercase,
+    collapse whitespace runs, strip — vectorized pandas string kernels."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            batch[text_col]
+            .fillna("")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        out = batch.copy()
+        out["text_norm"] = t
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
