@@ -1140,3 +1140,30 @@ def normalize_text_q(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return normalize_text(ds).select_columns(["doc_id", "text_norm"])
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT lang, doc_id FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761 + 7) % 4294967296, doc_id
+    ) <= 10
+    """,
+)
+def stratified_sample(sf_dir: str):
+    """Deterministic per-stratum sampling (10 docs per language) by
+    multiplicative-hash order — reproducible across runs and engines,
+    unlike RNG sampling; the per-group top-n is a grouped sort-limit."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g.doc_id.to_numpy().astype(np.uint64) * np.uint64(2654435761) + np.uint64(7)) % np.uint64(4294967296)
+        order = np.lexsort((g.doc_id.to_numpy(), h))
+        return g.iloc[order[:10]][["lang", "doc_id"]]
+
+    return ds.groupby("lang").map_groups(pick, batch_format="pandas")
