@@ -1167,3 +1167,40 @@ def stratified_sample(sf_dir: str):
         return g.iloc[order[:10]][["lang", "doc_id"]]
 
     return ds.groupby("lang").map_groups(pick, batch_format="pandas")
+
+
+# --- multimodal plumbing through the gate ------------------------------------
+
+
+@register("multimodal_decode_resize")
+def multimodal_decode_resize(sf_dir: str):
+    """The multimodal decode -> resize chain over media refs extracted
+    from the synthetic interleaved corpus (media spans of the first 256
+    docs). Codec work is a deterministic stand-in (no image libraries in
+    this environment — stages/multimodal.py); the Ray plumbing (schema,
+    small batches for wide rows, actor pools) is real -> rows-only."""
+    from ..fixtures.documents import documents_batch
+    from ..stages.multimodal import decode_pipeline, synth_media_table
+
+    docs = documents_batch(np.arange(256, dtype=np.int64))
+    refs, kinds = [], []
+    for spans in docs["spans"].to_pylist():
+        for s in spans:
+            if s["kind"] in ("image", "audio") and s["media_ref"]:
+                refs.append(s["media_ref"])
+                kinds.append(s["kind"])
+    media = synth_media_table(refs[:400], kinds[:400])
+    out = decode_pipeline(rd.from_arrow(media), fake=True, concurrency=2)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_ref": b.media_ref,
+                "media_kind": b.media_kind,
+                "height": b.height,
+                "width": b.width,
+                "n_pixel_bytes": b.pixels.map(len),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
