@@ -1204,3 +1204,14 @@ def multimodal_decode_resize(sf_dir: str):
         )
 
     return out.map_batches(project, batch_format="pandas")
+
+
+@register("validate_soil_table")
+def validate_soil_table(sf_dir: str):
+    """M8 SOL validation sweep over the synthetic soil side table —
+    {mukey, is_valid, message} rows (workspace validator contract)."""
+    from ..fixtures.soil import soil_polygons_table
+    from ..stages.validate import validate_sol_batch
+
+    soil = rd.from_arrow(soil_polygons_table()).drop_columns(["geometry"])
+    return soil.map_batches(validate_sol_batch, batch_format="pandas", batch_size=64)

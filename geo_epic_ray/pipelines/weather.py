@@ -70,3 +70,24 @@ def write_dly_files(daily: rd.Dataset, out_dir: str) -> rd.Dataset:
         return pd.DataFrame({"grid_id": [gid], "rows": [len(g)], "path": [path]})
 
     return daily.groupby("grid_id").map_groups(write, batch_format="pandas")
+
+
+def merge_windspeed(daily: rd.Dataset, ws: pd.DataFrame, fill: float = 3.5) -> rd.Dataset:
+    """J5: exact-date left merge of a windspeed series, missing days
+    filled with 3.5 (reference geoEpic/weather/main.py:33-34). The ws
+    table is broadcast once."""
+    import ray
+
+    ref = ray.put(ws[["date", "ws"]].rename(columns={"ws": "ws_new"}))
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(ref)
+        b = b.copy()
+        b["date"] = pd.to_datetime(b["date"])
+        w = w.copy()
+        w["date"] = pd.to_datetime(w["date"])
+        out = b.merge(w, on="date", how="left")
+        out["ws"] = out.pop("ws_new").fillna(fill)
+        return out
+
+    return daily.map_batches(merge, batch_format="pandas")

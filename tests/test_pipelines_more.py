@@ -139,3 +139,19 @@ def test_ssurgo_unit_convert():
     assert out.albedodry_r.iloc[0] == pytest.approx(0.2)
     assert out.course_fragment.iloc[0] == pytest.approx(15.0)
     assert out.hydgrp.iloc[0] == 3  # 'C' default
+
+
+def test_merge_windspeed_fill(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.fixtures.weather import weather_daily_table
+    from geo_epic_ray.pipelines.weather import merge_windspeed
+
+    daily = weather_daily_table(np.array([0]), years=(2019,)).to_pandas()
+    ws = pd.DataFrame({
+        "date": pd.to_datetime(daily["date"].iloc[:100]),
+        "ws": np.linspace(1, 5, 100),
+    })
+    out = merge_windspeed(rd.from_pandas(daily), ws).to_pandas().sort_values("date")
+    np.testing.assert_allclose(out.ws.iloc[:100], np.linspace(1, 5, 100))
+    assert (out.ws.iloc[100:] == 3.5).all()  # unmatched dates -> 3.5 fill
