@@ -155,3 +155,26 @@ def test_merge_windspeed_fill(ray_session):
     out = merge_windspeed(rd.from_pandas(daily), ws).to_pandas().sort_values("date")
     np.testing.assert_allclose(out.ws.iloc[:100], np.linspace(1, 5, 100))
     assert (out.ws.iloc[100:] == 3.5).all()  # unmatched dates -> 3.5 fill
+
+
+def test_run_info_reader_required_columns(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from geo_epic_ray.sources.run_info import filter_opc_present, read_run_info
+
+    good = tmp_path / "info.csv"
+    good.write_text(
+        "SiteID,soil,opc,dly,lat,lon,extra\n"
+        "1,382056,rot-a,234132,38.45,-97.27,x\n"
+        "2,382057,rot-b,234133,38.50,-97.30,y\n"
+        "3,382058,rot-missing,234134,38.55,-97.33,z\n"
+    )
+    ds = read_run_info(str(good))
+    assert ds.count() == 3
+    kept = filter_opc_present(ds, {"rot-a", "rot-b"}).to_pandas()
+    assert sorted(kept.SiteID) == [1, 2]  # M2 drops the missing-OPC site
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("SiteID,lat,lon\n1,38.0,-97.0\n")
+    with _pytest.raises(ValueError, match="missing required columns"):
+        read_run_info(str(bad))
