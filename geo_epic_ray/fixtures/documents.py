@@ -71,10 +71,10 @@ def documents_batch(ids: np.ndarray, seed: int = 42, hot_frac: float = 0.3) -> p
         np.char.add(np.char.add(np.char.add(w1, " "), np.char.add(w2, " ")), w3),
         "",
     )
-    media_ids = hash_strings = randint(span_key, seed, 6, 0, 1 << 31)
+    media_ids = randint(span_key, seed, 6, 0, 1 << 31)
     media_ref = np.where(
         kind_ix != 0,
-        np.char.add("media://", hash_strings.astype("U10")),
+        np.char.add("media://", media_ids.astype("U10")),
         "",
     )
     offsets = span_ord.astype(np.int32)  # strictly increasing per doc

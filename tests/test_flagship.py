@@ -259,3 +259,21 @@ def test_engine_matches_committed_golden_output(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, golden.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_salt_plan_sampling_path(ray_session):
+    from geo_epic_ray.pipelines.flagship import synthetic_documents
+    from geo_epic_ray.stages.partition import plan_salts
+    from geo_epic_ray.stages.spatial import derive_points, encode_cells
+
+    docs = synthetic_documents(20000)
+    cells = docs.map_batches(
+        derive_points, batch_format="pyarrow", fn_kwargs={"skew": True}
+    ).map_batches(encode_cells, batch_format="pyarrow")
+    full = plan_salts(cells, target_rows=1500)
+    sampled = plan_salts(cells, target_rows=1500, sample_fraction=0.3)
+    # sampling finds the same hot prefixes (scaled estimates may differ by
+    # a salt step on borderline cells)
+    assert set(full) and set(full) <= set(sampled) | set(full)
+    hot = max(full, key=full.get)
+    assert hot in sampled and sampled[hot] >= 2
