@@ -1,8 +1,8 @@
 """Benchmark harness.
 
 Headline: the flagship spatial pipeline (read parquet -> PIP soil join +
-kNN weather snap + tile assignment in a fused actor pool -> per-tile zonal
-aggregate) over a deterministic synthetic interleaved-doc corpus
+kNN weather snap + tile assignment via per-worker-cached index tasks ->
+per-tile zonal aggregate) over a deterministic synthetic interleaved corpus
 (generated once to /tmp and reused, so 8-CPU and 32-CPU runs see identical
 input and the page cache is warm).
 
