@@ -243,11 +243,23 @@ def run_flagship_fragments(
     shard_of = {f: f"shard-{os.path.basename(f)}" for f in files}
     pending = [f for f in files if shard_of[f] not in done]
 
-    # sweep orphan fragments of uncommitted shards (crashed previous run)
-    committed = set(done)
+    # Shards committed under a DIFFERENT input fingerprint are about to be
+    # recomputed (they sit in `pending`): clear their manifest row FIRST
+    # (so a crash mid-recompute cannot leave a stale completion claim),
+    # which demotes their fragments to orphans for the sweep below. Shards
+    # never reprocessed this run keep data + manifest row untouched.
+    committed_all = manifest.completed()
+    for f in pending:
+        k = shard_of[f]
+        if k in committed_all:
+            os.remove(os.path.join(manifest.dir, f"part-{k}.json"))
+            del committed_all[k]
+    # sweep orphan fragments of uncommitted shards (crashed previous run,
+    # or stale-fingerprint shards demoted above)
+    committed_any = set(committed_all)
     for frag in _glob.glob(os.path.join(out_dir, "part=*", "frag-*.parquet")):
         shard = "-".join(os.path.basename(frag).split("-")[1:-1])
-        if f"shard-{shard}" not in committed:
+        if f"shard-{shard}" not in committed_any:
             os.remove(frag)
 
     soil_ref, grid_ref = _side_table_refs()

@@ -601,7 +601,7 @@ def tile_mode_lang(sf_dir: str):
     "climate_scalars",
     """
     SELECT event_id,
-           round(exp((17.625 * (value * 0.05)) / (243.04 + (value * 0.05)))
+           round_even(exp((17.625 * (value * 0.05)) / (243.04 + (value * 0.05)))
                  / exp((17.625 * ((value*0.2 + value*0.2 - 10)/2))
                        / (243.04 + ((value*0.2 + value*0.2 - 10)/2))), 6) AS rh_dew,
            round_even(sqrt((value * 0.1) * (value * 0.1) + 9.0), 2) AS ws
@@ -748,7 +748,7 @@ def hll_distinct_users(sf_dir: str):
     "session_windows",
     """
     WITH ordered AS (
-      SELECT user_id, ts, value, epoch_us(ts) AS us,
+      SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                        OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -756,7 +756,7 @@ def hll_distinct_users(sf_dir: str):
     ),
     sessions AS (
       SELECT user_id, us, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
@@ -906,9 +906,16 @@ def asof_last_purchase(sf_dir: str):
                   batch_format="pandas")
     out = asof_join(clicks, purchases, by="user_id", on="ts", right_cols=["value"])
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"event_id": b.event_id, "last_purchase_value": b.value_asof.round(4)}
+    def finish(b: pd.DataFrame) -> pa.Table:
+        # Emit Arrow directly: the oracle's no-match rows are SQL NULLs,
+        # which must surface as Arrow nulls (a pandas float NaN would hash
+        # differently at the driver's Arrow-level compare).
+        val = b.value_asof.round(4).to_numpy(dtype=np.float64, na_value=np.nan)
+        return pa.table(
+            {
+                "event_id": pa.array(b.event_id.to_numpy().astype(np.int64)),
+                "last_purchase_value": pa.array(val, mask=np.isnan(val)),
+            }
         )
 
     return out.map_batches(finish, batch_format="pandas")

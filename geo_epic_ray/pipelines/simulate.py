@@ -160,6 +160,10 @@ def run_simulation_fleet(
     if routines is not None:
         sim = routines.apply(sim)
         return sim, sim.limit(0)
+    # Both outputs derive from `sim`; materialize it so consuming ok AND
+    # bad executes the enrich+sim pipeline once, not once per consumer
+    # (the split filters then read the shared materialized blocks).
+    sim = sim.materialize()
     ok = sim.map_batches(
         lambda t: t.filter(pa.compute.equal(t["sim_error"], "")), batch_format="pyarrow"
     )

@@ -41,6 +41,8 @@ class SemiAntiJoin:
         self.anti = anti
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.keys.size == 0:  # empty key set: semi keeps nothing, anti all
+            return batch if self.anti else batch.slice(0, 0)
         vals = batch[self.on].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(self.keys, vals)
         pos = np.clip(pos, 0, len(self.keys) - 1)
@@ -153,8 +155,18 @@ def asof_join(
     by key, pandas merge_asof per bucket). Both sides shuffle once on the
     key hash; within a bucket merge_asof is a sorted vectorized pass."""
 
-    lcols = left.schema().names
+    lschema = left.schema()
+    lcols = lschema.names
     rkeep = [by, on] + right_cols
+    # The union pads each side's missing columns with nulls, which turns
+    # integer columns into float64 once they reach pandas. Record the
+    # original integer dtypes so merge can restore them (the padded rows
+    # are filtered out by __side first, so no NaN survives the cast).
+    int_dtypes = {
+        name: t.to_pandas_dtype()
+        for name, t in zip(lschema.names, lschema.types)
+        if pa.types.is_integer(t)
+    }
 
     def tag(side: int, keep: list[str]):
         def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -170,8 +182,14 @@ def asof_join(
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][lcols].sort_values(on, kind="stable")
-        r = g[g["__side"] == 1][rkeep].sort_values(on, kind="stable")
+        l = g[g["__side"] == 0][lcols]
+        for c, dt in int_dtypes.items():
+            l[c] = l[c].astype(dt)
+        l = l.sort_values(on, kind="stable")
+        # secondary sort on the value columns: among equal-`on` right rows
+        # merge_asof picks the LAST, so this makes the pick deterministic
+        # under shuffle reordering (highest value wins).
+        r = g[g["__side"] == 1][rkeep].sort_values([on] + right_cols, kind="stable")
         r = r.rename(columns={c: c + suffix for c in right_cols})
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
         return out

@@ -139,6 +139,9 @@ def spatial_enrich_fn(
     free CPU (see worker_cache module docstring for the trade-off)."""
     from ..state.worker_cache import get_or_build
 
-    key = f"enrich:{soil_ref.hex() if hasattr(soil_ref, 'hex') else id(soil_ref)}:{pip_res}:{knn_res}"
+    def _ref_key(r):
+        return r.hex() if hasattr(r, "hex") else str(id(r))
+
+    key = f"enrich:{_ref_key(soil_ref)}:{_ref_key(grid_ref)}:{pip_res}:{knn_res}"
     se = get_or_build(key, lambda: SpatialEnrich(soil_ref, grid_ref, pip_res, knn_res))
     return se(batch)
