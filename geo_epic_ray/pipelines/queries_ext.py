@@ -252,6 +252,12 @@ def dedup_by_fingerprint(sf_dir: str):
     """,
 )
 def token_histogram(sf_dir: str):
+    """Token frequency histogram over an UNBOUNDED vocabulary: per-batch
+    partial counts, then a bucketed grouped sum (every token's partials
+    land in one bucket) — the driver never merges the vocabulary
+    (stages/aggregates.py:bucketed_group_agg)."""
+    from ..stages.aggregates import bucketed_group_agg
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def explode_count(b: pd.DataFrame) -> pd.DataFrame:
@@ -259,14 +265,14 @@ def token_histogram(sf_dir: str):
         g = toks.groupby(toks).size()
         return pd.DataFrame({"tok": g.index, "partial": g.values})
 
-    from ..stages.aggregates import partials_to_driver
-
-    def final(p: pd.DataFrame) -> pd.DataFrame:
-        g = p.groupby("tok", as_index=False)["partial"].sum().rename(columns={"partial": "n"})
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)["partial"].sum().rename(
+            columns={"partial": "n"}
+        )
         return g[g.n >= 50]
 
-    return partials_to_driver(
-        ds.map_batches(explode_count, batch_format="pandas"), final
+    return bucketed_group_agg(
+        ds.map_batches(explode_count, batch_format="pandas"), ["tok"], agg
     )
 
 
@@ -299,13 +305,32 @@ def ann_topk_cosine(sf_dir: str):
 
 @register("ivf_topk_cosine")  # approximate by construction -> rows-only check
 def ivf_topk_cosine(sf_dir: str):
-    from ..stages.similarity import ann_topk, ivf_topk, train_ivf_centroids
+    """IVF search with the coarse quantizer trained on a STREAMED sample:
+    the training vectors are hash-thinned inside map_batches (only ~256
+    sampled rows ever reach the driver — the full embedding table is never
+    materialized)."""
+    import pyarrow.compute as pc
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    mat = np.stack(emb["embedding"].to_numpy())
-    q = mat[:1]
-    cents = train_ivf_centroids(mat[:: max(1, len(mat) // 256)], n_centroids=8)
+    from ..stages.similarity import ivf_topk, train_ivf_centroids
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = ds.count()  # metadata-only for parquet
+    mod = max(1, n // 256)
+
+    def thin(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b.vec_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
+        return b[h % np.uint64(mod) == 0]
+
+    sample = np.stack(
+        ds.map_batches(thin, batch_format="pandas").to_pandas().embedding.to_numpy()
+    )
+    cents = train_ivf_centroids(sample, n_centroids=8)
+    q = np.stack(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filter=(pc.field("vec_id") == 0),
+        ).to_pandas().embedding.to_numpy()
+    )
     return ivf_topk(ds, q, cents, k=10, nprobe=3)
 
 
@@ -316,13 +341,13 @@ def ivf_topk_cosine(sf_dir: str):
 def minhash_lsh_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates over the documents table, verified
     with exact Jaccard >= 0.5 (low threshold so the pipeline always has
-    work at gate scale)."""
+    work at gate scale). Fully distributed: no driver merge, no
+    full-corpus broadcast (stages/dedup.py:minhash_dedup_pairs)."""
     from ..stages.dedup import minhash_dedup_pairs
 
-    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup = dict(zip(docs.doc_id, docs.text))
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, lookup, threshold=0.5, num_perm=64, bands=16)
+    out = minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16)
+    return out.sort(["id_a", "id_b"])
 
 
 @register("simhash_fingerprints")
@@ -335,15 +360,38 @@ def simhash_fp_q(sf_dir: str):
 
 @register("embedding_dup_pairs")
 def embedding_dup_pairs_q(sf_dir: str):
+    """Hyperplane-LSH embedding near-dedup: the vector table is augmented
+    with deterministic perturbed twins of the first 32 vectors (cosine
+    ~0.99 planted near-dups, derived in-stream — no side data), then
+    bucketed candidate generation + exact-cosine verify at threshold 0.9
+    finds them without any all-pairs scan or full-matrix broadcast. The
+    exact-twin check vs brute force lives in tests/test_dedup_text.py."""
     from ..stages.dedup import embedding_dup_pairs
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(
-        ds, threshold=0.5, ref_matrix=mat, ref_ids=emb.vec_id.to_numpy()
+
+    def plant_twins(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b.vec_id < 32]
+        if not len(sel):
+            return b
+        emb = np.stack(sel.embedding.to_numpy())
+        twins = []
+        for vid, v in zip(sel.vec_id.to_numpy(), emb):
+            rng = np.random.default_rng(9000 + int(vid))  # per-row seed:
+            t = v.astype(np.float64) + 0.05 * np.linalg.norm(v) / np.sqrt(
+                v.size
+            ) * rng.standard_normal(v.size)
+            twins.append(t.astype(emb.dtype))  # batching-independent determinism
+        extra = pd.DataFrame(
+            {"vec_id": sel.vec_id.to_numpy() + 1_000_000, "embedding": twins}
+        )
+        return pd.concat([b, extra], ignore_index=True)
+
+    aug = ds.map_batches(plant_twins, batch_format="pandas")
+    out = embedding_dup_pairs(
+        aug, threshold=0.9, n_tables=8, n_planes=12, dim=64
     )
+    return out.sort(["id_a", "id_b"])
 
 
 @register("lang_id_scores")
@@ -677,25 +725,35 @@ def simulation_fleet(sf_dir: str):
 def jaccard_adjacent(sf_dir: str):
     """Exact char-5-gram Jaccard of each adjacent doc pair (id, id+1) —
     the near-dedup verify kernel, oracle-checked against a DuckDB
-    substring-set computation. Pair texts come from a broadcast lookup at
-    gate scale; at corpus scale the pairing is a bucketed self-join."""
-    from ..stages.dedup import jaccard
+    substring-set computation. Distributed self-join: the table joins
+    itself on doc_id+1 via the hash-partitioned bucket_join (both sides
+    stream — no driver-side corpus read, no text broadcast); shingle sets
+    are vectorized 64-bit char-k-gram hash arrays, intersected as sorted
+    arrays. Inner join drops the max-id row exactly like the SQL."""
+    from ..stages.dedup import char_shingle_hashes, jaccard_sorted
+    from ..stages.joins import bucket_join
 
-    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup_ref = ray.put(dict(zip(docs.doc_id, docs.text)))
-    max_id = int(docs.doc_id.max())
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    left = ds.map_batches(
+        lambda b: pd.DataFrame({"k": b.doc_id, "id_a": b.doc_id, "ta": b.text}),
+        batch_format="pandas",
+    )
+    right = ds.map_batches(
+        lambda b: pd.DataFrame({"k": b.doc_id - 1, "tb": b.text}),
+        batch_format="pandas",
+    )
+    pairs = bucket_join(left, right, on="k", n_buckets=16)
 
-    def pairwise(b: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(lookup_ref)
-        b = b[b.doc_id < max_id]
-        out = [
-            round(jaccard(t, texts[i + 1], 5), 6)
-            for i, t in zip(b.doc_id, b.text)
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        ha, oa = char_shingle_hashes(b.ta.tolist(), 5)
+        hb, ob = char_shingle_hashes(b.tb.tolist(), 5)
+        jac = [
+            round(jaccard_sorted(ha[oa[i] : oa[i + 1]], hb[ob[i] : ob[i + 1]]), 6)
+            for i in range(len(b))
         ]
-        return pd.DataFrame({"id_a": b.doc_id, "jaccard": out})
+        return pd.DataFrame({"id_a": b.id_a.to_numpy(), "jaccard": jac})
 
-    return ds.map_batches(pairwise, batch_format="pandas")
+    return pairs.map_batches(score, batch_format="pandas")
 
 
 # --- distinct counting: exact (oracle) + HLL sketch --------------------------
@@ -706,23 +764,33 @@ def jaccard_adjacent(sf_dir: str):
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
 )
 def distinct_users_exact(sf_dir: str):
-    """Exact distinct count via per-batch partial unique sets + driver
-    combine (the pre-aggregated exact path; HLL below is the sketch
-    path for cardinalities that outgrow it)."""
-    from ..stages.aggregates import partials_to_driver
+    """Exact distinct count at unbounded user cardinality: per-batch
+    dedup, then a bucketed dedup+count keyed by user hash (each user's
+    rows land in ONE bucket, so per-bucket counts add exactly); the
+    driver only merges #event_types x n_buckets partial rows. HLL below
+    is the sketch path when even the shuffle is too much."""
+    from ..stages.aggregates import bucketed_group_agg, partials_to_driver
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates(["event_type", "user_id"])
 
-    def final(p: pd.DataFrame) -> pd.DataFrame:
-        g = p.drop_duplicates(["event_type", "user_id"]).groupby(
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["event_type", "user_id"]).groupby(
             "event_type", as_index=False
         )["user_id"].nunique()
-        return g.rename(columns={"user_id": "n_users"})
+        return g.rename(columns={"user_id": "n_part"})
 
-    return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], per_bucket
+    )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", as_index=False)["n_part"].sum()
+        return g.rename(columns={"n_part": "n_users"})
+
+    return partials_to_driver(parts, final)
 
 
 @register("hll_distinct_users")
@@ -1129,6 +1197,109 @@ def rasterize_yield_tiles(sf_dir: str):
         ok.select_columns(["tile_id", "yield"]).map_batches(partial, batch_format="pandas"),
         final,
     )
+
+
+# --- GEE-shaped declarative composite (S14, oracle) --------------------------
+
+
+_GEE_CONFIG = """
+global_scope:
+  time_range: ["2024-01-03", "2024-01-28"]
+  variables: [ndvi, moist, heat, stress]
+collections:
+  veg:
+    select: "nir > 40"
+    variables:
+      ndvi: "(nir - red) / (nir + red)"
+      moist: "nir * 0.5 + red"
+  met:
+    time_range: ["2024-01-06", "2024-01-28"]
+    variables:
+      moist: "tmax * 2.0"
+      heat: "tmax - 10"
+derived_variables:
+  stress: "heat * moist"
+"""
+
+
+@register(
+    "gee_composite_extract",
+    """
+    WITH veg0 AS (
+      SELECT CAST(ts AS DATE) AS d, avg(value * 0.9) AS nir, avg(value * 0.3) AS red
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    veg AS (
+      SELECT d, (nir - red) / (nir + red) AS ndvi, nir * 0.5 + red AS moist
+      FROM veg0
+      WHERE nir > 40 AND d BETWEEN DATE '2024-01-03' AND DATE '2024-01-28'
+    ),
+    met0 AS (
+      SELECT CAST(ts AS DATE) AS d, avg(value) * 0.1 AS tmax
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    met AS (
+      SELECT d, tmax * 2.0 AS moist, tmax - 10 AS heat
+      FROM met0 WHERE d BETWEEN DATE '2024-01-06' AND DATE '2024-01-28'
+    ),
+    m AS (
+      SELECT COALESCE(v.d, t.d) AS "Date", v.ndvi,
+             CASE WHEN v.moist IS NULL THEN t.moist
+                  WHEN t.moist IS NULL THEN v.moist
+                  ELSE (v.moist + t.moist) / 2 END AS moist,
+             t.heat
+      FROM veg v FULL OUTER JOIN met t ON v.d = t.d
+    )
+    SELECT "Date", round_even(ndvi, 3) AS ndvi, round_even(moist, 3) AS moist,
+           round_even(heat, 3) AS heat, round_even(heat * moist, 3) AS stress
+    FROM m
+    WHERE ndvi IS NOT NULL AND moist IS NOT NULL AND heat IS NOT NULL
+    """,
+)
+def gee_composite_extract(sf_dir: str):
+    """The reference's YAML-declarative multi-collection composite
+    (gee/core.py:95-244) on synthetic band collections derived from the
+    events table: per-collection date filter + select mask + band
+    formulas, one grouped merge with shared-band pair means, post-merge
+    derived variables, dropna + round(3). Oracle replays every step in
+    SQL — the full declarative semantics are hash-checked."""
+    from ..stages.aggregates import bucketed_group_agg
+    from .gee import composite_extract
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.event_type.isin(["click", "purchase"])]
+        g = b.assign(d=b.ts.dt.floor("D"), one=1).groupby(
+            ["event_type", "d"], as_index=False
+        ).agg(s=("value", "sum"), n=("one", "sum"))
+        return g
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "d"], as_index=False)[["s", "n"]].sum()
+        g["avg_value"] = g.s / g.n
+        return g[["event_type", "d", "avg_value"]]
+
+    daily = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["event_type", "d"], agg,
+        n_buckets=16,
+    ).materialize()  # ~2 x 366 rows — consumed by both collections
+
+    veg = daily.map_batches(
+        lambda b: pd.DataFrame(
+            {"Date": b.d, "nir": b.avg_value * 0.9, "red": b.avg_value * 0.3}
+        )[b.event_type == "click"],
+        batch_format="pandas",
+    )
+    met = daily.map_batches(
+        lambda b: pd.DataFrame({"Date": b.d, "tmax": b.avg_value * 0.1})[
+            b.event_type == "purchase"
+        ],
+        batch_format="pandas",
+    )
+    return composite_extract(_GEE_CONFIG, {"veg": veg, "met": met})
 
 
 # --- text normalization (oracle) ---------------------------------------------

@@ -127,9 +127,144 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+_CHAR_W = None
+
+
+def char_shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-UNIQUE hashes of the CHAR k-grams (utf-32 codepoints
+    — the char analogue of ``_hash_bytes_rolling``, matching SQL
+    ``substr`` semantics: a text shorter than k contributes its whole
+    string as the single shingle). Returns (hashes, offsets) with
+    hashes[offsets[i]:offsets[i+1]] = doc i's shingle hashes.
+
+    Set operations on these hashes equal set operations on the string
+    shingles up to 64-bit hash collisions (~n^2/2^64 — negligible), which
+    turns the per-pair verify into sorted-array intersections."""
+    global _CHAR_W
+    if _CHAR_W is None or _CHAR_W.size < k:
+        rng = np.random.default_rng(4321)
+        _CHAR_W = rng.integers(1, 1 << 62, size=max(k, 16), dtype=np.uint64) | np.uint64(1)
+    w = _CHAR_W[:k]
+    out = []
+    offsets = [0]
+    for t in texts:
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = codes.size
+        if n < k:
+            h = np.array(
+                [(codes * w[:n]).sum(dtype=np.uint64) + np.uint64(n)], dtype=np.uint64
+            )
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = (win * w[None, :]).sum(axis=1, dtype=np.uint64)
+            h = (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
+        out.append(np.unique(h))
+        offsets.append(offsets[-1] + out[-1].size)
+    return (
+        np.concatenate(out) if out else np.empty(0, dtype=np.uint64),
+        np.asarray(offsets, dtype=np.int64),
+    )
+
+
+def jaccard_sorted(ua: np.ndarray, ub: np.ndarray) -> float:
+    """Jaccard of two sorted-unique hash arrays (one merge pass)."""
+    inter = np.intersect1d(ua, ub, assume_unique=True).size
+    union = ua.size + ub.size - inter
+    return inter / union if union else 1.0
+
+
+def bucketed_pairs(
+    kb: rd.Dataset, key_col: str, id_col: str, n_buckets: int = 32
+) -> rd.Dataset:
+    """Candidate pairs (id_a < id_b) from (bucket_key, id) rows, fully
+    distributed: shuffle by hash(key) % n_buckets (ONE small-column
+    exchange), then a C-speed pandas groupby inside each bucket emits the
+    per-key pairs — the >= 2-member prefilter falls out of the groupby for
+    free, with no driver-side merge. Degenerate hot keys (everything
+    identical) still cost O(m^2) pairs — salt upstream if the key
+    histogram is pathological."""
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key_col, id_col]].copy()
+        h = b[key_col].to_numpy(dtype=np.int64).view(np.uint64)
+        b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(key_col):
+            ids = np.sort(grp[id_col].unique())
+            if ids.size < 2:
+                continue
+            ia, ib = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
+        cand = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+        return cand.drop_duplicates(["id_a", "id_b"])
+
+    return (
+        kb.map_batches(bucketize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+
+def pair_payload_verify(
+    cand: rd.Dataset,
+    payload: rd.Dataset,
+    id_col: str,
+    verify_bucket_fn,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Verify candidate pairs against a per-id payload WITHOUT broadcasting
+    the payload: explode each pair into two member rows, hash-partitioned
+    rejoin of the payload by id (bucket_join — both sides stream), then
+    regroup by pair and run ``verify_bucket_fn`` per pair-bucket. Duplicate
+    pairs (e.g. from different LSH bands/tables) land in the same
+    pair-bucket, so the verify fn dedups them there — no driver pass."""
+    from .joins import bucket_join
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id_a"].to_numpy()
+        bb = b["id_b"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([a, bb]),
+                "id_a": np.concatenate([a, a]),
+                "id_b": np.concatenate([bb, bb]),
+            }
+        )
+
+    members = cand.map_batches(explode, batch_format="pandas")
+    joined = bucket_join(members, payload, on=id_col, n_buckets=n_buckets)
+
+    def pbucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) ^ b["id_b"].to_numpy().astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        b = b.copy()
+        b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return verify_bucket_fn(g.drop(columns="__pb"))
+
+    return (
+        joined.map_batches(pbucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def minhash_dedup_pairs(
     ds: rd.Dataset,
-    texts_by_id: dict,
+    texts: rd.Dataset | None = None,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -137,16 +272,28 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    n_buckets: int = 32,
 ) -> rd.Dataset:
-    """Candidate pairs from LSH buckets, verified with exact Jaccard.
+    """Near-dup pairs via MinHash+LSH, verified with exact char-k-gram
+    Jaccard — fully distributed, no driver-side merge and no full-corpus
+    broadcast anywhere:
 
-    ``texts_by_id`` is a broadcastable small-side lookup for the verify
-    step (gate-scale). At 100 TB the verify joins text back by
-    hash-partitioned id instead of a broadcast — same bucket pipeline.
+    1. vectorized signatures -> (band key, id) explode;
+    2. candidate pairs per band bucket (``bucketed_pairs``: one hashed
+       shuffle of two int64 columns, C-speed groupby per bucket — the
+       >= 2-member prefilter is implicit);
+    3. verify: pairs explode into member rows, text payload rejoined by
+       hash-partitioned id (``bucket_join`` — both sides stream), regroup
+       by pair; cross-band duplicates of a pair land in the same
+       pair-bucket and are verified once. Shingle-hash arrays are built
+       once per doc per bucket, intersections are sorted-array merges.
+
+    ``texts`` supplies the (id, text) payload for the verify step and
+    defaults to ``ds`` itself. Returns a Dataset (id_a, id_b, jaccard)
+    with jaccard >= threshold, id_a < id_b.
     """
-    import ray
-
-    lookup_ref = ray.put(texts_by_id)
+    if texts is None:
+        texts = ds
     buckets = minhash_lsh_buckets(ds, text_col, id_col, num_perm, bands, shingle_k)
 
     # Composite bucket key so the whole pipeline shuffles ONE int64 column.
@@ -157,93 +304,66 @@ def minhash_dedup_pairs(
         b["bkey"] = (bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
         return b[["bkey", id_col]]
 
-    # Materialize the (bkey, id) table once — it is tiny (bands ints per
-    # doc) and is consumed twice (count pass + pair pass); without this the
-    # signature computation re-executes per consumer.
-    kb = buckets.map_batches(keyed, batch_format="pandas").materialize()
+    kb = buckets.map_batches(keyed, batch_format="pandas")
+    cand = bucketed_pairs(kb, "bkey", id_col, n_buckets=n_buckets)
 
-    # Prefilter: only buckets holding >= 2 docs can produce pairs. Partial
-    # counts per batch are combined driver-side — a Ray sort-based groupby
-    # over ~n_docs*bands mostly-unique keys costs tens of seconds for what
-    # is a small merge (measured: 65s -> ~4s at sf0.1 end to end).
-    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("bkey", as_index=False).size()
-        return g.rename(columns={"size": "pn"})
+    # Precompute each doc's sorted-unique shingle-hash array ONCE (a doc
+    # participates in many pairs across many verify buckets — shipping the
+    # hashes instead of the text avoids rebuilding shingles per bucket).
+    def to_shingles(b: pd.DataFrame) -> pd.DataFrame:
+        hs, offs = char_shingle_hashes(b[text_col].tolist(), shingle_k)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "sh_bytes": [
+                    hs[offs[i] : offs[i + 1]].tobytes() for i in range(len(b))
+                ],
+            }
+        )
 
-    partials = kb.map_batches(partial_counts, batch_format="pandas").to_pandas()
-    totals = partials.groupby("bkey", as_index=False)["pn"].sum()
-    hot_keys = np.sort(totals.loc[totals.pn >= 2, "bkey"].to_numpy())
-    hot_ref = ray.put(hot_keys)
+    payload = texts.map_batches(to_shingles, batch_format="pandas")
 
-    def keep_hot(b: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(hot_ref)
-        if keys.size == 0:
-            return b.iloc[0:0]
-        pos = np.clip(np.searchsorted(keys, b.bkey.to_numpy()), 0, keys.size - 1)
-        return b[keys[pos] == b.bkey.to_numpy()]
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                 "jaccard": np.empty(0, float)}
+            )
+        pairs = g[["id_a", "id_b"]].drop_duplicates()
+        slice_of = {
+            i: np.frombuffer(bb, dtype=np.uint64)
+            for i, bb in zip(g[id_col], g["sh_bytes"])
+        }
+        jac = np.fromiter(
+            (
+                jaccard_sorted(slice_of[a], slice_of[b])
+                for a, b in zip(pairs.id_a, pairs.id_b)
+            ),
+            dtype=float,
+            count=len(pairs),
+        )
+        out = pairs.assign(jaccard=jac)
+        return out[out.jaccard >= threshold]
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    cand = (
-        kb.map_batches(keep_hot, batch_format="pandas")
-        .groupby("bkey")
-        .map_groups(pairs, batch_format="pandas")
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        """Exact-Jaccard check with a per-worker shingle-set memo — each
-        doc participates in many candidate pairs, so sets are built once
-        per worker, not once per pair."""
-        if not len(batch):
-            return batch.assign(jaccard=pd.Series(dtype=float))
-        from ..state.worker_cache import get_or_build
-
-        texts = ray.get(lookup_ref)
-        memo = get_or_build(f"shingles:{lookup_ref.hex()}:{shingle_k}", dict)
-
-        def sset(i):
-            s = memo.get(i)
-            if s is None:
-                t = texts[i]
-                s = {t[j : j + shingle_k] for j in range(max(1, len(t) - shingle_k + 1))}
-                memo[i] = s
-            return s
-
-        batch = batch.drop_duplicates(["id_a", "id_b"])
-        j = []
-        for a, b in zip(batch.id_a, batch.id_b):
-            sa, sb = sset(a), sset(b)
-            j.append(len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0)
-        batch = batch.assign(jaccard=j)
-        return batch[batch.jaccard >= threshold]
-
-    verified = cand.map_batches(verify, batch_format="pandas")
-    # The surviving set is small by construction (true near-dups only);
-    # final cross-band dedup is a driver-side drop_duplicates. At corpus
-    # scale this last step becomes a hash-partitioned groupby instead.
-    out = verified.to_pandas()
-    return out.drop_duplicates(["id_a", "id_b"]).sort_values(
-        ["id_a", "id_b"]
-    ).reset_index(drop=True)
+    return pair_payload_verify(cand, payload, id_col, verify_bucket, n_buckets)
 
 
 # --- SimHash ----------------------------------------------------------------
 
 
-def _stable_token_hash(tok: str, seed: int) -> int:
-    """Deterministic 64-bit token hash (Python's builtin hash() is
-    per-process randomized — never use it in distributed stages)."""
-    import zlib
+def _token_hashes(tokens: list[str], seed: int) -> np.ndarray:
+    """Deterministic 64-bit token hashes, computed in ONE vectorized pass
+    (polars hash_rows — C speed, process-independent; Python's builtin
+    hash() is per-process randomized and must never appear in distributed
+    stages)."""
+    import polars as pl
 
-    b = tok.encode("utf-8")
-    lo = zlib.crc32(b, seed)
-    hi = zlib.crc32(b, seed ^ 0x5BD1E995)
-    return (hi << 32) | lo
+    return (
+        pl.from_arrow(pa.table({"t": pa.array(tokens, type=pa.string())}))
+        .hash_rows(seed=seed)
+        .to_numpy()
+        .astype(np.uint64)
+    )
 
 
 def simhash64(texts: list[str], seed: int = 11) -> np.ndarray:
@@ -253,9 +373,7 @@ def simhash64(texts: list[str], seed: int = 11) -> np.ndarray:
     all_tokens = [tok for toks in toks_per_doc for tok in toks]
     if not all_tokens:
         return np.zeros(len(texts), dtype=np.uint64)
-    th = np.array(
-        [_stable_token_hash(tok, seed) for tok in all_tokens], dtype=np.uint64
-    )
+    th = _token_hashes(all_tokens, seed)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     ) * 2 - 1
@@ -288,7 +406,7 @@ def simhash_fingerprints(
 # --- embedding cosine near-dup ----------------------------------------------
 
 
-def embedding_dup_pairs(
+def embedding_dup_pairs_bruteforce(
     ds: rd.Dataset,
     *,
     emb_col: str = "embedding",
@@ -298,9 +416,9 @@ def embedding_dup_pairs(
     ref_ids: np.ndarray | None = None,
 ) -> rd.Dataset:
     """Pairs (id_a < id_b) with cosine similarity >= threshold, each batch
-    scored against the broadcast (normalized) reference matrix — the
-    brute-force baseline; the scale path LSH-buckets by random hyperplane
-    sign bytes first."""
+    scored against the broadcast (normalized) reference matrix — the exact
+    O(N^2) baseline for small N and the recall oracle for the LSH path
+    below. NOT the scale path: the reference matrix is the whole dataset."""
     import ray
 
     ref = ray.put((ref_matrix, ref_ids))
@@ -323,3 +441,83 @@ def embedding_dup_pairs(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def embedding_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 21,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Embedding near-dup pairs via random-hyperplane (cosine) LSH
+    [Charikar 2002]: each vector gets one sign-bit code per table
+    (``n_planes`` hyperplanes -> a 2^n_planes-bucket code); vectors
+    sharing a (table, code) bucket become candidates; candidates are
+    verified with the exact cosine, payload rejoined by hash-partitioned
+    id — no full-matrix broadcast, no all-pairs scan.
+
+    Recall per true pair at angle theta = 1 - (1 - (1-theta/pi)^n_planes)
+    ^n_tables: for cosine >= 0.95 the defaults give > 0.999; LOWER
+    thresholds need fewer planes / more tables (and genuinely random data
+    near the threshold degrades toward brute force — LSH is a near-dup
+    tool, not a mid-similarity join). Candidate volume scales as
+    n_tables * sum_buckets(m^2), so raise n_planes as the corpus grows.
+    """
+    first = dim
+    if first is None:
+        first = len(ds.take(1)[0][emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, first, n_planes))
+
+    def codes(batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        ids = batch[id_col].to_numpy()
+        frames = []
+        pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))[None, :]
+        for t in range(n_tables):
+            bits = (emb @ planes[t]) > 0
+            code = (bits.astype(np.uint64) * pow2).sum(axis=1, dtype=np.uint64)
+            salt = np.uint64(((t + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            key = (code ^ salt).view(np.int64)
+            frames.append(pd.DataFrame({"ckey": key, id_col: ids}))
+        return pd.concat(frames, ignore_index=True)
+
+    kb = ds.map_batches(codes, batch_format="pandas")
+    cand = bucketed_pairs(kb, "ckey", id_col, n_buckets=n_buckets)
+
+    # payload: the vector serialized to bytes (fixed dtype) so it unions
+    # cleanly through the bucketed join
+    def to_bytes(b: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(b[emb_col].to_numpy()).astype(np.float64)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "emb_bytes": [v.tobytes() for v in emb]}
+        )
+
+    payload = ds.map_batches(to_bytes, batch_format="pandas")
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                 "cosine": np.empty(0, float)}
+            )
+        pairs = g[["id_a", "id_b"]].drop_duplicates()
+        vec = {
+            i: np.frombuffer(bb, dtype=np.float64)
+            for i, bb in zip(g[id_col], g["emb_bytes"])
+        }
+        a_mat = np.stack([vec[i] for i in pairs.id_a])
+        b_mat = np.stack([vec[i] for i in pairs.id_b])
+        cos = np.einsum("ij,ij->i", a_mat, b_mat)
+        out = pairs.assign(cosine=cos)
+        return out[out.cosine >= threshold]
+
+    return pair_payload_verify(cand, payload, id_col, verify_bucket, n_buckets)

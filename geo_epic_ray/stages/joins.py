@@ -93,6 +93,26 @@ def outer_merge_mean(a: pd.DataFrame, b: pd.DataFrame, on: str = "Date") -> pd.D
     return merged.sort_values(on).reset_index(drop=True)
 
 
+def _int_dtypes_of(*schemas) -> dict:
+    """name -> numpy integer dtype for every integer column across the
+    given Ray schemas. Handles both Arrow-block schemas (pyarrow types)
+    and pandas-block schemas (numpy dtypes)."""
+    out = {}
+    for sch in schemas:
+        for name, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                if pa.types.is_integer(t):
+                    out[name] = t.to_pandas_dtype()
+            else:
+                try:
+                    dt = np.dtype(t)
+                except TypeError:
+                    continue
+                if np.issubdtype(dt, np.integer):
+                    out[name] = dt
+    return out
+
+
 def bucket_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -111,10 +131,15 @@ def bucket_join(
     stages/partition.py) before calling when the key histogram is heavy.
     """
 
-    lcols = [c for c in left.schema().names if c != on]
-    rcols = [c for c in right.schema().names if c != on]
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c != on]
+    rcols = [c for c in rschema.names if c != on]
     if set(lcols) & set(rcols):
         raise ValueError("bucket_join sides must have disjoint non-key columns")
+    # The union pads each side's missing columns with nulls -> integer
+    # columns arrive in pandas as float64; restore the declared dtypes
+    # after the side split (each side's own rows carry no NaN).
+    int_dtypes = _int_dtypes_of(lschema, rschema)
 
     def tag(side: int, pad_cols: list[str]):
         def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -134,8 +159,13 @@ def bucket_join(
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][[on] + lcols]
-        r = g[g["__side"] == 1][[on] + rcols]
+        l = g[g["__side"] == 0][[on] + lcols].copy()
+        r = g[g["__side"] == 1][[on] + rcols].copy()
+        for c, dt in int_dtypes.items():
+            if c in l.columns and l[c].dtype != dt:
+                l[c] = l[c].astype(dt)
+            if c in r.columns and r[c].dtype != dt:
+                r[c] = r[c].astype(dt)
         return l.merge(r, on=on, how=how)
 
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
@@ -162,11 +192,7 @@ def asof_join(
     # integer columns into float64 once they reach pandas. Record the
     # original integer dtypes so merge can restore them (the padded rows
     # are filtered out by __side first, so no NaN survives the cast).
-    int_dtypes = {
-        name: t.to_pandas_dtype()
-        for name, t in zip(lschema.names, lschema.types)
-        if pa.types.is_integer(t)
-    }
+    int_dtypes = _int_dtypes_of(lschema)
 
     def tag(side: int, keep: list[str]):
         def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -182,7 +208,7 @@ def asof_join(
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][lcols]
+        l = g[g["__side"] == 0][lcols].copy()
         for c, dt in int_dtypes.items():
             l[c] = l[c].astype(dt)
         l = l.sort_values(on, kind="stable")

@@ -30,34 +30,54 @@ _WORD_RE = re.compile(r"[a-zA-Z]+")
 def lang_id_batch(texts: pd.Series) -> pd.DataFrame:
     """Heuristic language ID: CJK codepoint ratio -> zh; otherwise the
     language whose stopword list covers the most tokens; 'und' when no
-    evidence. Returns (lang_pred, lang_score)."""
-    langs = []
-    scores = []
-    for t in texts:
-        if not t:
-            langs.append("und")
-            scores.append(0.0)
-            continue
-        n_cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
-        if n_cjk / max(1, min(len(t), 400)) > 0.2:
-            langs.append("zh")
-            scores.append(round(n_cjk / max(1, min(len(t), 400)), 6))
-            continue
-        toks = [w.lower() for w in _WORD_RE.findall(t[:2000])]
-        if not toks:
-            langs.append("und")
-            scores.append(0.0)
-            continue
-        best, best_score = "und", 0.0
-        for lang, sw in _LANG_STOPWORDS.items():
-            if not sw:
-                continue
-            score = sum(1 for w in toks if w in sw) / len(toks)
-            if score > best_score:
-                best, best_score = lang, score
-        langs.append(best if best_score > 0 else "und")
-        scores.append(round(best_score, 6))
-    return pd.DataFrame({"lang_pred": langs, "lang_score": scores})
+    evidence. Returns (lang_pred, lang_score).
+
+    Vectorized: one concatenated utf-32 codepoint pass for the CJK
+    counts, one exploded-token isin pass per language for the stopword
+    coverage — no per-row (or per-character) Python in the hot path."""
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    n = len(s)
+    if n == 0:
+        return pd.DataFrame({"lang_pred": [], "lang_score": []})
+    lengths = s.str.len().to_numpy()
+
+    # CJK ratio over the first 400 chars (U+4E00..U+9FFF)
+    t400 = s.str.slice(0, 400)
+    codes = np.frombuffer("".join(t400.tolist()).encode("utf-32-le"), dtype=np.uint32)
+    l400 = t400.str.len().to_numpy()
+    bounds = np.concatenate([[0], np.cumsum(l400)])
+    ccum = np.concatenate(
+        [[0], np.cumsum((codes >= 0x4E00) & (codes <= 0x9FFF))]
+    )
+    n_cjk = ccum[bounds[1:]] - ccum[bounds[:-1]]
+    cjk_ratio = n_cjk / np.maximum(1, np.minimum(lengths, 400))
+
+    # stopword coverage over the first 2000 chars
+    toks = s.str.slice(0, 2000).str.findall(_WORD_RE).explode().dropna().str.lower()
+    idx = toks.index.to_numpy(dtype=np.int64)
+    n_toks = np.bincount(idx, minlength=n)
+    lang_names = [l for l, sw in _LANG_STOPWORDS.items() if sw]
+    score_mat = np.zeros((n, len(lang_names)))
+    for j, lang in enumerate(lang_names):
+        hits = np.bincount(
+            idx, weights=toks.isin(_LANG_STOPWORDS[lang]).to_numpy(), minlength=n
+        )
+        score_mat[:, j] = hits / np.maximum(1, n_toks)
+    best_j = np.argmax(score_mat, axis=1)  # first-wins ties = dict order
+    best_score = score_mat[np.arange(n), best_j]
+
+    pred = np.where(
+        best_score > 0, np.asarray(lang_names, dtype=object)[best_j], "und"
+    )
+    score = np.round(best_score, 6)
+    # precedence: empty -> und; zh override; no tokens -> und
+    is_zh = cjk_ratio > 0.2
+    pred = np.where(is_zh, "zh", pred)
+    score = np.where(is_zh, np.round(cjk_ratio, 6), score)
+    void = (lengths == 0) | (~is_zh & (n_toks == 0))
+    pred = np.where(void, "und", pred)
+    score = np.where(void, 0.0, score)
+    return pd.DataFrame({"lang_pred": pred, "lang_score": score})
 
 
 def lang_id(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
@@ -73,25 +93,26 @@ def quality_scores(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     the standard pre-training quality filters, vectorized."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch[text_col].fillna("")
+        t = batch[text_col].fillna("").reset_index(drop=True)
         n_chars = t.str.len()
         tokens = t.str.split()
         n_tokens = tokens.str.len().fillna(0).astype(int)
         mean_word_len = (t.str.replace(" ", "", regex=False).str.len() / n_tokens.clip(lower=1)).round(6)
         punct_ratio = (t.str.count(r"[^\w\s]") / n_chars.clip(lower=1)).round(6)
-        stop_ratio = tokens.map(
-            lambda ws: round(
-                sum(1 for w in ws if w.lower() in _LANG_STOPWORDS["en"]) / max(1, len(ws)), 6
-            )
-            if isinstance(ws, list)
-            else 0.0
+        # stopword ratio via exploded-token isin — no per-row lambda
+        toks = tokens.explode().dropna().str.lower()
+        hits = np.bincount(
+            toks.index.to_numpy(dtype=np.int64),
+            weights=toks.isin(_LANG_STOPWORDS["en"]).to_numpy(),
+            minlength=len(t),
         )
+        stop_ratio = np.round(hits / np.maximum(1, n_tokens.to_numpy()), 6)
         out = batch.reset_index(drop=True).copy()
         out["n_chars_q"] = n_chars.values
         out["n_tokens"] = n_tokens.values
         out["mean_word_len"] = mean_word_len.values
         out["punct_ratio"] = punct_ratio.values
-        out["stopword_ratio"] = np.asarray(stop_ratio.values, dtype=float)
+        out["stopword_ratio"] = stop_ratio
         return out
 
     return ds.map_batches(f, batch_format="pandas")

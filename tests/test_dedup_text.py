@@ -108,3 +108,74 @@ def test_smooth_series_savgol_column():
     out = smooth_series(df, "ndvi", method="savitsky", window_length=5, polyorder=2)
     assert "ndvi_smoothed" in out.columns
     assert out["ndvi_smoothed"].std() <= df["ndvi"].std()
+
+
+def test_char_shingle_jaccard_matches_string_sets():
+    from geo_epic_ray.stages.dedup import char_shingle_hashes, jaccard_sorted
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog",
+        "完全不同的中文文本内容测试",
+        "完全不同的中文文本内容测验",
+        "ab",
+        "",
+        "short",
+    ]
+    hs, offs = char_shingle_hashes(texts, 5)
+    sl = [hs[offs[i] : offs[i + 1]] for i in range(len(texts))]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            assert abs(jaccard_sorted(sl[i], sl[j]) - jaccard(texts[i], texts[j])) < 1e-12
+
+
+def test_minhash_dedup_pairs_distributed(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    texts = [base, base.replace("today", "tonite")] + [
+        f"unrelated document number {i} about {i * 37} topics" for i in range(30)
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(4)
+    out = minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16).to_pandas()
+    # the planted near-dup pair survives; its jaccard matches the exact kernel
+    assert len(out) >= 1
+    row = out[(out.id_a == 0) & (out.id_b == 1)]
+    assert len(row) == 1
+    assert abs(row.jaccard.iloc[0] - jaccard(texts[0], texts[1])) < 1e-12
+    assert out.id_a.dtype == np.int64 and out.id_b.dtype == np.int64
+    # no duplicate pairs despite multi-band collisions
+    assert not out.duplicated(["id_a", "id_b"]).any()
+
+
+def test_embedding_lsh_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import (embedding_dup_pairs,
+                                           embedding_dup_pairs_bruteforce)
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 32))
+    twins = base[:10] + 0.02 * rng.standard_normal((10, 32))
+    mat = np.vstack([base, twins])
+    ids = np.arange(len(mat))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(3)
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bf = embedding_dup_pairs_bruteforce(
+        ds, threshold=0.95, ref_matrix=norm, ref_ids=ids
+    ).to_pandas()
+    lsh = embedding_dup_pairs(
+        ds, threshold=0.95, n_tables=8, n_planes=12, dim=32
+    ).to_pandas()
+    key = lambda d: set(zip(d.id_a.astype(int), d.id_b.astype(int)))
+    assert len(bf) == 10  # the planted twins, nothing else
+    assert key(lsh) == key(bf)  # exact-twin: LSH finds exactly the bf pairs
+    m = lsh.sort_values(["id_a", "id_b"]).cosine.to_numpy()
+    b = bf.sort_values(["id_a", "id_b"]).cosine.to_numpy()
+    np.testing.assert_allclose(m, b, atol=1e-12)

@@ -144,3 +144,45 @@ def test_cli_list_queries(capsys):
     assert main(["list-queries"]) == 0
     out = capsys.readouterr().out
     assert "geo_enrich_full" in out and "sql-oracle" in out
+
+
+def test_gee_composite_extract_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_epic_ray.pipelines.gee import composite_extract, load_config
+
+    dates = pd.to_datetime(["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"])
+    veg = rd.from_pandas(pd.DataFrame(
+        {"Date": dates, "nir": [10.0, 2.0, 8.0, 6.0], "red": [2.0, 1.0, 4.0, 2.0]}
+    ))
+    met = rd.from_pandas(pd.DataFrame(
+        {"Date": dates[:3], "tmax": [20.0, 30.0, 25.0]}
+    ))
+    cfg = {
+        "global_scope": {
+            "time_range": ["2024-03-01", "2024-03-03"],
+            "variables": ["ndvi", "moist", "heat"],
+        },
+        "collections": {
+            "veg": {
+                "select": "nir > 5",
+                "variables": {"ndvi": "(nir - red) / (nir + red)",
+                              "moist": "nir * 0.5"},
+            },
+            "met": {"variables": {"moist": "tmax * 0.1", "heat": "tmax - 10"}},
+        },
+        "derived_variables": {},
+    }
+    out = composite_extract(cfg, {"veg": veg, "met": met}).to_pandas()
+    out = out.sort_values("Date").reset_index(drop=True)
+    # 03-02 masked out (nir=2), 03-04 outside time range -> 2 rows
+    assert list(out.Date.dt.day) == [1, 3]
+    # shared band `moist` is the pair mean: (nir*0.5 + tmax*0.1)/2
+    np.testing.assert_allclose(out.moist.to_numpy(), [(5.0 + 2.0) / 2, (4.0 + 2.5) / 2])
+    np.testing.assert_allclose(out.ndvi.to_numpy(), [round(8 / 12, 3), round(4 / 12, 3)])
+    np.testing.assert_allclose(out.heat.to_numpy(), [10.0, 15.0])
+    # YAML text round-trips through load_config
+    cfg2 = load_config("global_scope:\n  time_range: [a, b]\n  variables: [x]\ncollections:\n  c:\n    variables: {x: 'x'}\n")
+    assert cfg2["collections"]["c"]["variables"] == {"x": "x"}
