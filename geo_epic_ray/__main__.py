@@ -32,6 +32,19 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list-queries", help="list registered queries")
 
+    g = sub.add_parser(
+        "ingest",
+        help="validate + normalize an exported side table (the S8/S10 "
+        "substitution: ogr2ogr/gdal_translate parquet exports in, "
+        "workspace side-table layout out)",
+    )
+    g.add_argument("kind", choices=["soil", "weather-grid", "raster"])
+    g.add_argument("path", help="exported parquet file")
+    g.add_argument("--out", required=True, help="output directory")
+    g.add_argument("--width", type=int, default=1000, help="raster width (raster kind)")
+    g.add_argument("--height", type=int, default=1500, help="raster height (raster kind)")
+    g.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "list-queries":
@@ -77,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             print(df.head(20).to_string())
             print(f"... {len(df)} rows")
+        elif args.cmd == "ingest":
+            from geo_epic_ray.sources.ingest import INGESTERS
+
+            fn = INGESTERS[args.kind]
+            if args.kind == "raster":
+                n = fn(args.path, args.out, args.width, args.height)
+            else:
+                n = fn(args.path, args.out)
+            print(json.dumps({"kind": args.kind, "rows": int(n), "out": args.out}))
     finally:
         ray.shutdown()
     return 0

@@ -222,6 +222,63 @@ def nelder_mead(f, x0, steps=None, max_iter: int = 400, tol: float = 1e-8) -> np
     return simplex[np.argmin(fv)]
 
 
+def levenberg_marquardt(
+    model,
+    t: np.ndarray,
+    y: np.ndarray,
+    x0: np.ndarray,
+    max_iter: int = 100,
+    tol: float = 1e-12,
+) -> np.ndarray:
+    """Damped least squares with a numeric Jacobian — the same algorithm
+    family as the reference's scipy.optimize.curve_fit (LM / trust-region
+    least squares, DoubleLogisticCurve.py:7-120), re-implemented in plain
+    numpy because scipy is unavailable in this environment. Conformance:
+    tests/test_shapefile.py recovers known generating parameters on
+    noiseless and noisy double-logistic series."""
+    x = np.asarray(x0, dtype=np.float64).copy()
+    mask = np.isfinite(np.asarray(y, dtype=np.float64))
+    tm, ym = np.asarray(t, dtype=np.float64)[mask], np.asarray(y, dtype=np.float64)[mask]
+    if tm.size == 0:
+        return x
+    r = model(tm, x) - ym
+    cost = float(r @ r)
+    lam = 1e-3
+    for _ in range(max_iter):
+        # central-difference Jacobian
+        J = np.empty((tm.size, x.size))
+        for j in range(x.size):
+            h = 1e-6 * max(abs(x[j]), 1.0)
+            xp, xm_ = x.copy(), x.copy()
+            xp[j] += h
+            xm_[j] -= h
+            J[:, j] = (model(tm, xp) - model(tm, xm_)) / (2 * h)
+        g = J.T @ r
+        H = J.T @ J
+        d = np.diag(np.clip(np.diag(H), 1e-12, None))
+        improved = False
+        for _ in range(20):
+            try:
+                step = np.linalg.solve(H + lam * d, -g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            xn = x + step
+            rn = model(tm, xn) - ym
+            cn = float(rn @ rn)
+            if np.isfinite(cn) and cn < cost:
+                x, r = xn, rn
+                gain = cost - cn
+                cost = cn
+                lam = max(lam * 0.3, 1e-12)
+                improved = True
+                break
+            lam *= 10
+        if not improved or gain < tol * max(cost, 1.0):
+            break
+    return x
+
+
 def double_logistic(t, params):
     """DoubleLogisticCurve.py model: base + amp * (1/(1+exp(-(t-s1)/r1))
     - 1/(1+exp(-(t-s2)/r2)))."""
@@ -244,7 +301,11 @@ def fit_double_logistic(t: np.ndarray, y: np.ndarray) -> np.ndarray:
     def loss(p):
         return float(np.nanmean((double_logistic(t, p) - y) ** 2))
 
-    return nelder_mead(loss, x0)
+    # curve_fit-parity first (LM least squares), Nelder-Mead as the
+    # derivative-free fallback when LM stalls on a bad simplex start
+    p_lm = levenberg_marquardt(double_logistic, t, y, x0)
+    p_nm = nelder_mead(loss, x0)
+    return p_lm if loss(p_lm) <= loss(p_nm) else p_nm
 
 
 def asymmetric_gaussian(t, params):
@@ -265,4 +326,6 @@ def fit_asymmetric_gaussian(t: np.ndarray, y: np.ndarray) -> np.ndarray:
     def loss(p):
         return float(np.nanmean((asymmetric_gaussian(t, p) - y) ** 2))
 
-    return nelder_mead(loss, x0)
+    p_lm = levenberg_marquardt(asymmetric_gaussian, t, y, x0)
+    p_nm = nelder_mead(loss, x0)
+    return p_lm if loss(p_lm) <= loss(p_nm) else p_nm

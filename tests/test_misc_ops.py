@@ -186,3 +186,41 @@ def test_gee_composite_extract_semantics(ray_session):
     # YAML text round-trips through load_config
     cfg2 = load_config("global_scope:\n  time_range: [a, b]\n  variables: [x]\ncollections:\n  c:\n    variables: {x: 'x'}\n")
     assert cfg2["collections"]["c"]["variables"] == {"x": "x"}
+
+
+def test_ingest_side_tables(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from geo_epic_ray.sources.ingest import (ingest_raster_table,
+                                             ingest_soil_table,
+                                             ingest_weather_grid)
+
+    soil_in = tmp_path / "soil.parquet"
+    pd.DataFrame(
+        {"mukey": [1, 2], "geometry": [b"\x01", b"\x02"], "albedo": [0.1, 0.2]}
+    ).to_parquet(soil_in)
+    n = ingest_soil_table(str(soil_in), str(tmp_path / "soil_out"))
+    assert n == 2
+    back = pq.read_table(str(tmp_path / "soil_out"))
+    assert set(back.column_names) >= {"mukey", "geometry", "albedo", "hydgrp"}
+
+    grid_in = tmp_path / "grid.parquet"
+    pd.DataFrame({"grid_id": [0], "lat": [40.0], "lon": [-100.0]}).to_parquet(grid_in)
+    assert ingest_weather_grid(str(grid_in), str(tmp_path / "grid_out")) == 1
+
+    bad = tmp_path / "bad.parquet"
+    pd.DataFrame({"grid_id": [0], "lat": [95.0], "lon": [0.0]}).to_parquet(bad)
+    with pytest.raises(Exception, match="out-of-range"):
+        ingest_weather_grid(str(bad), str(tmp_path / "bad_out"))
+
+    rast = tmp_path / "rast.parquet"
+    pd.DataFrame({"px": [0, 5], "py": [0, 7], "value": [1.0, 2.0]}).to_parquet(rast)
+    assert ingest_raster_table(str(rast), str(tmp_path / "rast_out"), 10, 10) == 2
+
+    missing = tmp_path / "missing.parquet"
+    pd.DataFrame({"mukey": [1]}).to_parquet(missing)
+    with pytest.raises(ValueError, match="missing required columns"):
+        ingest_soil_table(str(missing), str(tmp_path / "m_out"))
