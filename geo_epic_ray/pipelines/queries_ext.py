@@ -358,6 +358,36 @@ def simhash_fp_q(sf_dir: str):
     return simhash_fingerprints(ds)
 
 
+@register("simhash_dup_pairs")
+def simhash_dup_pairs_q(sf_dir: str):
+    """SimHash near-dedup (Hamming <= 3 via the exact 4-chunk pigeonhole
+    bucketing, stages/dedup.py:simhash_dup_pairs) over the documents
+    table augmented with deterministic twins of the first 24 docs (8
+    verbatim, 16 with one appended token — in-stream, no side data).
+    Chunk-trick exactness vs brute force is locked in tests."""
+    from ..stages.dedup import simhash_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b.doc_id < 24]
+        if not len(sel):
+            return b
+        twin_text = [
+            t if i % 3 == 0 else t + " appendix"
+            for i, t in zip(sel.doc_id, sel.text)
+        ]
+        extra = pd.DataFrame(
+            {"doc_id": sel.doc_id.to_numpy() + 1_000_000, "text": twin_text}
+        )
+        return pd.concat([b, extra], ignore_index=True)
+
+    out = simhash_dup_pairs(
+        ds.map_batches(plant, batch_format="pandas"), max_hamming=3
+    )
+    return out.sort(["id_a", "id_b"])
+
+
 @register("embedding_dup_pairs")
 def embedding_dup_pairs_q(sf_dir: str):
     """Hyperplane-LSH embedding near-dedup: the vector table is augmented

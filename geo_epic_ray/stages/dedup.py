@@ -403,6 +403,113 @@ def simhash_fingerprints(
     return ds.map_batches(fp, batch_format="pandas")
 
 
+def simhash_dup_pairs(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    seed: int = 11,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming`` —
+    the Manku/Jain/Sarma (WWW'07) chunk trick, distributed: split each
+    64-bit simhash into ``n_chunks`` equal bit chunks; any pair differing
+    in <= n_chunks - 1 bits shares at least one EXACT chunk (pigeonhole),
+    so exact-match chunk buckets generate ALL candidates (no recall loss
+    for max_hamming < n_chunks); verify = popcount(xor) <= max_hamming,
+    computed from simhashes carried in the bucket rows — no payload
+    rejoin needed. Returns (id_a, id_b, hamming)."""
+    if max_hamming >= n_chunks:
+        raise ValueError("exact recall requires max_hamming < n_chunks")
+    bits = 64 // n_chunks
+    chunk_mask = np.uint64((1 << bits) - 1)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = simhash64(batch[text_col].tolist(), seed)
+        ids = batch[id_col].to_numpy()
+        frames = []
+        for c in range(n_chunks):
+            chunk = (sh >> np.uint64(c * bits)) & chunk_mask
+            salt = np.uint64(((c + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "ckey": (chunk ^ salt).view(np.int64),
+                        id_col: ids,
+                        "simhash": sh.view(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    kb = ds.map_batches(explode, batch_format="pandas")
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (
+            b["ckey"].to_numpy().view(np.uint64) % np.uint64(n_buckets)
+        ).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("ckey"):
+            u = grp.drop_duplicates(id_col).sort_values(id_col)
+            if len(u) < 2:
+                continue
+            ids = u[id_col].to_numpy()
+            sh = u["simhash"].to_numpy().view(np.uint64)
+            ia, ib = np.triu_indices(ids.size, k=1)
+            x = sh[ia] ^ sh[ib]
+            ham = np.zeros(x.size, dtype=np.int64)
+            while True:  # popcount via bit-clearing on the nonzero lanes
+                nz = x != 0
+                if not nz.any():
+                    break
+                ham[nz] += 1
+                x[nz] &= x[nz] - np.uint64(1)
+            keep = ham <= max_hamming
+            out.append(
+                pd.DataFrame(
+                    {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                     "hamming": ham[keep]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                 "hamming": np.empty(0, np.int64)}
+            )
+        return pd.concat(out, ignore_index=True).drop_duplicates(["id_a", "id_b"])
+
+    cand = (
+        kb.map_batches(bucketize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    # cross-chunk duplicates of a pair live in different chunk buckets:
+    # one grouped pass by pair hash dedups them distributed
+    def pbucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) ^ b["id_b"].to_numpy().astype(np.uint64)
+        b = b.copy()
+        b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    return (
+        cand.map_batches(pbucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(columns="__pb"),
+            batch_format="pandas",
+        )
+    )
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 

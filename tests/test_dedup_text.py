@@ -179,3 +179,35 @@ def test_embedding_lsh_matches_bruteforce(ray_session):
     m = lsh.sort_values(["id_a", "id_b"]).cosine.to_numpy()
     b = bf.sort_values(["id_a", "id_b"]).cosine.to_numpy()
     np.testing.assert_allclose(m, b, atol=1e-12)
+
+
+def test_simhash_dup_pairs_exact_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import simhash64, simhash_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = (
+        [base, base, base + "extra", base + "extra words here"]
+        + [f"totally different text about topic {i} " * 3 for i in range(20)]
+    )
+    ids = np.arange(len(texts))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(3)
+    out = (
+        simhash_dup_pairs(ds, max_hamming=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    # brute force: all pairs with popcount(xor) <= 3
+    sh = simhash64(texts)
+    expect = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(int(sh[i]) ^ int(sh[j])).count("1")
+            if h <= 3:
+                expect.append((i, j, h))
+    got = list(zip(out.id_a.astype(int), out.id_b.astype(int), out.hamming.astype(int)))
+    assert sorted(got) == sorted(expect)  # pigeonhole bucketing is EXACT
+    assert (0, 1, 0) in got  # the verbatim twin
