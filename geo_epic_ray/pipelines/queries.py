@@ -447,6 +447,9 @@ def layer_consolidation(sf_dir: str):
     """,
 )
 def percentile_profile(sf_dir: str):
+    """Exact grouped quantiles via map_groups — correct for the 5 event
+    types here; groups too large to hold switch to the mergeable t-digest
+    (stages/sketches.py:TDigest, gate query tdigest_value_quantiles)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def prof(g: pd.DataFrame) -> pd.DataFrame:

@@ -823,6 +823,27 @@ def distinct_users_exact(sf_dir: str):
     return partials_to_driver(parts, final)
 
 
+@register("tdigest_value_quantiles")
+def tdigest_value_quantiles(sf_dir: str):
+    """t-digest approximate quantiles of the event values with the exact
+    answers and relative error alongside (the scale path for
+    percentile_profile-style queries at unbounded group size) —
+    approximate by design, so rows-only; accuracy asserted in tests."""
+    from ..stages.sketches import tdigest_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = tdigest_quantiles(ds, "value", [0.1, 0.5, 0.9])
+    exact = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]).value
+    rows = []
+    for q, e in est.items():
+        x = float(exact.quantile(q))
+        rows.append(
+            {"q": q, "estimate": round(e, 4), "exact": round(x, 4),
+             "rel_err": round(abs(e - x) / max(1e-9, abs(x)), 6)}
+        )
+    return pd.DataFrame(rows)
+
+
 @register("hll_distinct_users")
 def hll_distinct_users(sf_dir: str):
     """HyperLogLog count-distinct (mergeable per-batch sketches) with its

@@ -106,3 +106,95 @@ class BloomFilter:
             p = pos[i]
             hit &= (self.bits[p // 8] & (1 << (p % 8)).astype(np.uint8)) != 0
         return hit
+
+
+class TDigest:
+    """Mergeable quantile sketch (t-digest, Dunning & Ertl): weighted
+    centroids compressed under the k1-style size bound
+    w_cluster <= 4 * total * q * (1 - q) / delta — tails stay precise,
+    the middle compresses. The scale path for grouped quantiles whose
+    groups no longer fit in one map_groups (VERDICT: percentile_profile
+    holds whole groups; this sketch replaces that at high cardinality)."""
+
+    def __init__(self, delta: int = 200, means=None, weights=None):
+        self.delta = delta
+        self.means = np.asarray(means, dtype=np.float64) if means is not None else np.empty(0)
+        self.weights = (
+            np.asarray(weights, dtype=np.float64) if weights is not None else np.empty(0)
+        )
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> "TDigest":
+        if means.size == 0:
+            return self
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m, out_w = [], []
+        acc_m, acc_w, cum = means[0] * weights[0], weights[0], 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q = (cum + acc_w / 2) / total
+            cap = max(1.0, 4.0 * total * q * (1 - q) / self.delta)
+            if acc_w + w <= cap:
+                acc_m += m * w
+                acc_w += w
+            else:
+                out_m.append(acc_m / acc_w)
+                out_w.append(acc_w)
+                cum += acc_w
+                acc_m, acc_w = m * w, w
+        out_m.append(acc_m / acc_w)
+        out_w.append(acc_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+        return self
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        return self._compress(
+            np.concatenate([self.means, v]),
+            np.concatenate([self.weights, np.ones(v.size)]),
+        )
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        return self._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+        )
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * total
+        return float(np.interp(target, cum, self.means))
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, delta: int = 200) -> "TDigest":
+        arr = np.frombuffer(blob, dtype=np.float64)
+        half = arr.size // 2
+        return cls(delta, arr[:half].copy(), arr[half:].copy())
+
+
+def tdigest_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], delta: int = 200
+) -> dict[float, float]:
+    """Approximate quantiles of a column: one t-digest per batch (a few
+    hundred centroids each), merged driver-side — no shuffle, no
+    per-group materialization."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest(delta).add(b[col].to_numpy())
+        return pd.DataFrame({"digest": [d.to_bytes()]})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    acc = TDigest(delta)
+    for blob in parts.digest:
+        acc = acc.merge(TDigest.from_bytes(blob, delta))
+    return {q: acc.quantile(q) for q in qs}

@@ -48,3 +48,28 @@ def test_bloom_no_false_negatives_and_low_fp():
     assert bf.contains(members).all()  # no false negatives, ever
     fp = bf.contains(others).mean()
     assert fp < 0.05
+
+
+def test_tdigest_quantiles_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_epic_ray.stages.sketches import TDigest, tdigest_quantiles
+
+    rng = np.random.default_rng(8)
+    vals = np.concatenate([rng.normal(100, 15, 40_000), rng.exponential(30, 20_000)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    est = tdigest_quantiles(ds, "v", [0.01, 0.1, 0.5, 0.9, 0.99])
+    spread = vals.max() - vals.min()
+    for q, e in est.items():
+        exact = np.quantile(vals, q)
+        assert abs(e - exact) / spread < 0.01, (q, e, exact)
+
+    # mergeability: split-digest == whole-digest within tolerance
+    a = TDigest().add(vals[:30_000])
+    b = TDigest().add(vals[30_000:])
+    merged = a.merge(b)
+    whole = TDigest().add(vals)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(merged.quantile(q) - whole.quantile(q)) / spread < 0.01
