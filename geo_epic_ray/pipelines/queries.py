@@ -260,6 +260,7 @@ def pricing_summary(sf_dir: str):
             g[c] = g[c].round(4)
         return g
 
+    # driver merge bounded: (returnflag x linestatus) ~ 6 keys x #blocks
     return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
 
 
@@ -356,6 +357,7 @@ def semi_join_orders(sf_dir: str):
         g["sum_total"] = g.sum_total.round(4)
         return g
 
+    # driver merge bounded: 5 order priorities x #blocks
     return partials_to_driver(
         kept.map_batches(partial, batch_format="pandas"), final
     )
@@ -490,14 +492,16 @@ def phu_heat_units(sf_dir: str):
         # combine per batch before the shuffle
         return part.groupby("user_id", as_index=False)["hu"].sum()
 
-    from ..stages.aggregates import partials_to_driver
+    from ..stages.aggregates import bucketed_group_agg
 
-    def final(p: pd.DataFrame) -> pd.DataFrame:
-        g = p.groupby("user_id", as_index=False)["hu"].sum()
+    # user_id is UNBOUNDED at corpus scale -> bucketed grouped sum, not a
+    # driver-side partial merge
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["hu"].sum()
         g["phu"] = g.hu.round(4)
         return g.drop(columns=["hu"])
 
-    return partials_to_driver(ds.map_batches(hu, batch_format="pandas"), final)
+    return bucketed_group_agg(ds.map_batches(hu, batch_format="pandas"), ["user_id"], agg)
 
 
 # --- §2.7: exact dedup (hash-partition + per-group first) -------------------

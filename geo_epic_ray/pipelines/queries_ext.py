@@ -188,6 +188,7 @@ def broadcast_join_orders(sf_dir: str):
         g["avg_price"] = (g.sum_price / g.n).round(6)
         return g.drop(columns=["sum_price"])
 
+    # driver merge bounded: (mktsegment x priority) ~ 25 keys x #blocks
     return partials_to_driver(
         joined.map_batches(partial, batch_format="pandas"), final
     )
@@ -571,6 +572,7 @@ def three_way_join_revenue(sf_dir: str):
         g["revenue"] = g.revenue.round(4)
         return g
 
+    # driver merge bounded: 25 nations x #blocks
     return partials_to_driver(
         li.map_batches(join_and_partial, batch_format="pandas"), final
     )
@@ -630,6 +632,7 @@ def daily_collapse(sf_dir: str):
         g["d"] = pd.to_datetime(g.d)
         return g.drop(columns=["s"])
 
+    # driver merge bounded: one partial row per calendar day per block
     return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
 
 
@@ -1208,6 +1211,7 @@ def native_join_orders_nation(sf_dir: str):
     def final(p: pd.DataFrame) -> pd.DataFrame:
         return p.groupby("n_name", as_index=False)["n_orders"].sum()
 
+    # driver merge bounded: 25 nations x #blocks
     return partials_to_driver(j.map_batches(partial, batch_format="pandas"), final)
 
 
@@ -1244,6 +1248,7 @@ def rasterize_yield_tiles(sf_dir: str):
             columns={"n": "n_docs"}
         )
 
+    # driver merge bounded: fixed tile lattice (24 tiles) x #blocks
     return partials_to_driver(
         ok.select_columns(["tile_id", "yield"]).map_batches(partial, batch_format="pandas"),
         final,
