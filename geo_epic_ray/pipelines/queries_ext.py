@@ -149,6 +149,55 @@ def tumbling_window_agg(sf_dir: str):
     return bucketed_group_agg(ds.map_batches(win, batch_format="pandas"), ["user_id", "win"], agg)
 
 
+# --- streaming-shaped: hopping (sliding) window aggregate --------------------
+
+
+@register(
+    "hopping_window_agg",
+    """
+    SELECT user_id, win, count(*) AS n_events,
+           round_even(sum(value), 4) AS sum_value
+    FROM (
+      SELECT user_id, value,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) - off AS win
+      FROM events, (SELECT unnest([0, 1]) AS off) offs
+    )
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_agg(sf_dir: str):
+    """Hopping windows (size 1h, hop 30min): each event lands in
+    size/hop = 2 overlapping windows — the flat duplication happens
+    vectorized inside map_batches, then one bucketed grouped sum; window
+    id = floor(ts/hop) - k for k in 0..size/hop-1 (SURVEY.md §2.9)."""
+    from ..stages.aggregates import bucketed_group_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        base = np.floor(b.ts.astype("int64") / 1e6 / 1800).astype("int64")
+        u = b.user_id.to_numpy()
+        v = b.value.to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate([u, u]),
+                "win": np.concatenate([base, base - 1]),
+                "value": np.concatenate([v, v]),
+            }
+        )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(one=1).groupby(["user_id", "win"], as_index=False).agg(
+            n_events=("one", "sum"), sum_value=("value", "sum")
+        )
+        g["sum_value"] = g.sum_value.round(4)
+        return g
+
+    return bucketed_group_agg(
+        ds.map_batches(expand, batch_format="pandas"), ["user_id", "win"], agg
+    )
+
+
 # --- J7-style broadcast hash join + aggregate -------------------------------
 
 
@@ -310,8 +359,6 @@ def ivf_topk_cosine(sf_dir: str):
     the training vectors are hash-thinned inside map_batches (only ~256
     sampled rows ever reach the driver — the full embedding table is never
     materialized)."""
-    import pyarrow.compute as pc
-
     from ..stages.similarity import ivf_topk, train_ivf_centroids
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -319,19 +366,14 @@ def ivf_topk_cosine(sf_dir: str):
     mod = max(1, n // 256)
 
     def thin(b: pd.DataFrame) -> pd.DataFrame:
+        # hash-thinned training sample + the query vector, one pass
         h = (b.vec_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
-        return b[h % np.uint64(mod) == 0]
+        return b[(h % np.uint64(mod) == 0) | (b.vec_id.to_numpy() == 0)]
 
-    sample = np.stack(
-        ds.map_batches(thin, batch_format="pandas").to_pandas().embedding.to_numpy()
-    )
+    small = ds.map_batches(thin, batch_format="pandas").to_pandas()
+    sample = np.stack(small.embedding.to_numpy())
     cents = train_ivf_centroids(sample, n_centroids=8)
-    q = np.stack(
-        rd.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-            filter=(pc.field("vec_id") == 0),
-        ).to_pandas().embedding.to_numpy()
-    )
+    q = np.stack(small.loc[small.vec_id == 0, "embedding"].to_numpy())
     return ivf_topk(ds, q, cents, k=10, nprobe=3)
 
 
