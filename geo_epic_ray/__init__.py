@@ -39,6 +39,13 @@ def __getattr__(name):
         "PolygonIndex": "geo_epic_ray.geo.pip",
         "Manifest": "geo_epic_ray.state.manifest",
         "RoutineRegistry": "geo_epic_ray.pipelines.registry",
+        "composite_extract": "geo_epic_ray.pipelines.gee",
+        "minhash_dedup_pairs": "geo_epic_ray.stages.dedup",
+        "simhash_dup_pairs": "geo_epic_ray.stages.dedup",
+        "embedding_dup_pairs": "geo_epic_ray.stages.dedup",
+        "ann_topk": "geo_epic_ray.stages.similarity",
+        "TDigest": "geo_epic_ray.stages.sketches",
+        "HLL": "geo_epic_ray.stages.sketches",
     }
     if name in surface:
         import importlib

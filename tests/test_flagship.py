@@ -277,3 +277,40 @@ def test_salt_plan_sampling_path(ray_session):
     assert set(full) and set(full) <= set(sampled) | set(full)
     hot = max(full, key=full.get)
     assert hot in sampled and sampled[hot] >= 2
+
+
+def test_fragment_mode_fingerprint_change_recomputes_without_duplicates(
+    ray_session, tmp_path
+):
+    """Reusing an out_dir with a NEW input fingerprint must recompute the
+    affected shards (stale manifest rows cleared first, old fragments
+    swept) and never leave duplicate rows or orphan data behind."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from geo_epic_ray.pipelines.flagship import run_flagship_fragments
+    from geo_epic_ray.fixtures.documents import documents_batch
+    from geo_epic_ray.state.manifest import Manifest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(
+            documents_batch(np.arange(i * 1000, (i + 1) * 1000, dtype=np.int64)),
+            str(src / f"shard{i}.parquet"),
+        )
+    out = str(tmp_path / "out")
+
+    r1 = run_flagship_fragments(str(src), out, input_fingerprint="fpA", wave_size=2)
+    assert r1[~r1.skipped].rows.sum() == 2000
+
+    r2 = run_flagship_fragments(str(src), out, input_fingerprint="fpB", wave_size=2)
+    assert r2[~r2.skipped].rows.sum() == 2000  # all recomputed, none skipped
+    assert r2[r2.skipped].empty
+
+    t = pads.dataset(glob.glob(f"{out}/part=*/frag-*.parquet")).to_table()
+    assert t.num_rows == 2000  # old fpA fragments are gone, no duplicates
+    done = Manifest(out).completed()
+    assert all(rec.input_fingerprint == "fpB" for rec in done.values())
