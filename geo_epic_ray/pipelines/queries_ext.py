@@ -326,6 +326,42 @@ def token_histogram(sf_dir: str):
     )
 
 
+# --- BPE-ish pretokenizer count (text analysis) -------------------------------
+
+# GPT-2-style pretokenizer, restricted to constructs Python re and DuckDB
+# RE2 evaluate identically (no \p classes, no lookahead): contractions,
+# space-prefixed letter/digit/punct runs, whitespace runs.
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\ra-zA-Z0-9]+|[ \t\n\r]+"
+
+
+@register(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\ra-zA-Z0-9]+|[ \\t\\n\\r]+'
+           )) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(sf_dir: str):
+    """BPE-ish pretokenizer token count (GPT-2 pretokenize rule, ASCII
+    subset): one compiled-regex vectorized count per batch, oracle-checked
+    against DuckDB's RE2 on the same pattern."""
+    import re as _re
+
+    pat = _re.compile(_BPE_RE)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b.doc_id,
+             "n_bpe_tokens": b.text.str.count(pat).astype("int64")}
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -465,6 +501,18 @@ def embedding_dup_pairs_q(sf_dir: str):
         aug, threshold=0.9, n_tables=8, n_planes=12, dim=64
     )
     return out.sort(["id_a", "id_b"])
+
+
+@register("winnow_overlap_pairs")
+def winnow_overlap_pairs_q(sf_dir: str):
+    """Winnowing substring-overlap pairs (MOSS-style, SIGMOD'03) over the
+    documents table: docs sharing >= 3 selected rolling-hash fingerprints,
+    ubiquitous fingerprints (df > 10) dropped. Guarantee/count semantics
+    locked in tests -> rows-only here."""
+    from ..stages.text import winnow_overlap_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_overlap_pairs(ds, min_shared=3, max_df=10).sort(["id_a", "id_b"])
 
 
 @register("lang_id_scores")

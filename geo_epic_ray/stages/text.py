@@ -162,3 +162,144 @@ def normalize_text(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def winnow_batch(
+    texts: list[str], k: int = 5, window: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): per doc, the min rolling k-gram hash of every w-length
+    window — guarantees any shared substring of length >= k + w - 1
+    yields a shared fingerprint, at ~1/w density. Vectorized: one shingle
+    pass (reuses the dedup char-shingle kernel without dedup/sort), then
+    a sliding-window-minimum per doc. Returns (hashes, offsets):
+    hashes[offsets[i]:offsets[i+1]] = doc i's sorted-unique selected
+    fingerprints."""
+    from . import dedup as _d
+
+    _d.char_shingle_hashes([""], k)  # seed the shared shingle weights
+    w = _d._CHAR_W[:k]
+    out = []
+    offsets = [0]
+    for t in texts:
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = codes.size
+        if n < k:
+            h = np.array(
+                [(codes * w[:n]).sum(dtype=np.uint64) + np.uint64(n)], dtype=np.uint64
+            )
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = (win * w[None, :]).sum(axis=1, dtype=np.uint64)
+            h = (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
+        if h.size > window:
+            mins = np.min(
+                np.lib.stride_tricks.sliding_window_view(h, window), axis=1
+            )
+        else:
+            mins = np.array([h.min()], dtype=np.uint64)
+        out.append(np.unique(mins))
+        offsets.append(offsets[-1] + out[-1].size)
+    return (
+        np.concatenate(out) if out else np.empty(0, dtype=np.uint64),
+        np.asarray(offsets, dtype=np.int64),
+    )
+
+
+def winnow_fingerprints(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 8,
+) -> rd.Dataset:
+    """One (doc_id, fingerprint) row per selected winnowing hash — the
+    exploded form feeds a groupby(fingerprint) for substring-overlap
+    candidate detection, same shuffle shape as the LSH band explode."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, offs = winnow_batch(batch[text_col].fillna("").tolist(), k, window)
+        counts = np.diff(offs)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), counts),
+                "fingerprint": hs.view(np.int64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def winnow_overlap_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 8,
+    min_shared: int = 3,
+    max_df: int = 10,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Substring-overlap candidate pairs: docs sharing >= ``min_shared``
+    winnowing fingerprints (MOSS-style plagiarism/near-dup detection).
+    Fingerprints held by more than ``max_df`` docs are dropped first —
+    ubiquitous substrings are not discriminative and would blow the
+    per-bucket pair count up quadratically (the stop-fingerprint rule).
+    Fully distributed: fingerprint explode -> bucketed per-print pair
+    emit (NOT deduped — multiplicity is the signal) -> pair-bucket count.
+    Returns (id_a, id_b, n_shared)."""
+
+    kb = winnow_fingerprints(ds, text_col, id_col, k, window)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (
+            b["fingerprint"].to_numpy().view(np.uint64) % np.uint64(n_buckets)
+        ).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("fingerprint"):
+            ids = np.sort(grp[id_col].unique())
+            if ids.size < 2 or ids.size > max_df:
+                continue
+            ia, ib = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    cand = (
+        kb.map_batches(bucketize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    def pbucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) ^ b["id_b"].to_numpy().astype(np.uint64)
+        b = b.copy()
+        b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["id_a", "id_b"], as_index=False).size().rename(
+            columns={"size": "n_shared"}
+        )
+        return c[c.n_shared >= min_shared]
+
+    return (
+        cand.map_batches(pbucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: count_bucket(g.drop(columns="__pb")), batch_format="pandas"
+        )
+    )

@@ -211,3 +211,48 @@ def test_simhash_dup_pairs_exact_vs_bruteforce(ray_session):
     got = list(zip(out.id_a.astype(int), out.id_b.astype(int), out.hamming.astype(int)))
     assert sorted(got) == sorted(expect)  # pigeonhole bucketing is EXACT
     assert (0, 1, 0) in got  # the verbatim twin
+
+
+def test_winnowing_guarantee_and_density():
+    from geo_epic_ray.stages.text import winnow_batch
+
+    k, w = 5, 8
+    shared = "a very distinctive shared passage of text"  # len >= k + w - 1
+    a = "prefix one " + shared + " and a suffix"
+    b = "totally different opening " + shared + " closing words"
+    c = "no overlap with the others at all, none whatsoever"
+    hs, offs = winnow_batch([a, b, c], k, w)
+    sets = [set(hs[offs[i] : offs[i + 1]].tolist()) for i in range(3)]
+    # SWA guarantee: a shared substring of length >= k+w-1 shares >= 1 print
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2])
+    # density ~1/w: far fewer prints than shingles
+    assert len(sets[0]) < len(a)
+    # deterministic + batch-independent
+    hs2, offs2 = winnow_batch([a], k, w)
+    assert set(hs2.tolist()) == sets[0]
+
+
+def test_winnow_overlap_pairs_counts_shared_prints(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.text import winnow_batch, winnow_overlap_pairs
+
+    shared = "this exact long passage appears verbatim in two documents only"
+    texts = [
+        "intro words " + shared + " outro one",
+        "other beginning " + shared + " different ending",
+    ] + [f"unique filler document number {i} with its own words {i * 13}" for i in range(12)]
+    ids = np.arange(len(texts))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(3)
+    out = winnow_overlap_pairs(
+        ds, min_shared=3, max_df=14
+    ).to_pandas()
+    got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
+    assert (0, 1) in got
+    # n_shared for (0, 1) equals the direct winnow-set intersection
+    hs, offs = winnow_batch(texts, 5, 8)
+    s0 = set(hs[offs[0] : offs[1]].tolist())
+    s1 = set(hs[offs[1] : offs[2]].tolist())
+    row = out[(out.id_a == 0) & (out.id_b == 1)]
+    assert int(row.n_shared.iloc[0]) == len(s0 & s1)
