@@ -512,23 +512,23 @@ def phu_heat_units(sf_dir: str):
     "SELECT lang, source, min(doc_id) AS doc_id FROM documents GROUP BY lang, source",
 )
 def exact_dedup_first(sf_dir: str):
+    """Keep-first dedup by key: min(doc_id) is associative, so each batch
+    pre-combines to one row per key BEFORE any shuffle — only keys x
+    blocks rows move (the combiner rule from stages/aggregates.py)."""
+    from ..stages.aggregates import partials_to_driver
+
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "source"], as_index=False)["doc_id"].min()
 
-    def key(b: pd.DataFrame) -> pd.DataFrame:
-        b["dedup_key"] = b.lang + "\x1f" + b.source
-        return b
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby(["lang", "source"], as_index=False)["doc_id"].min()
 
-    out = (
-        ds.map_batches(key, batch_format="pandas")
-        .groupby("dedup_key")
-        .map_groups(first, batch_format="pandas")
-    )
-    return out.select_columns(["lang", "source", "doc_id"])
+    # driver merge bounded: (lang x source) ~ 100 keys x #blocks
+    return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 # --- text analysis: token counting ------------------------------------------

@@ -251,21 +251,20 @@ def broadcast_join_orders(sf_dir: str):
     "SELECT DISTINCT lang, source FROM documents",
 )
 def distinct_lang_source(sf_dir: str):
+    """DISTINCT via per-batch dedup (idempotent combine) before the final
+    merge — raw rows never shuffle."""
+    from ..stages.aggregates import partials_to_driver
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["lang", "source"])
 
-    def key(b: pd.DataFrame) -> pd.DataFrame:
-        b["k"] = b.lang + "\x1f" + b.source
-        return b
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        return p.drop_duplicates(["lang", "source"])
 
-    return (
-        ds.map_batches(key, batch_format="pandas")
-        .groupby("k")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["k"])
-    )
+    # driver merge bounded: (lang x source) ~ 100 keys x #blocks
+    return partials_to_driver(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 # --- fingerprint-based exact dedup (text stage + dedup §2.7) ----------------
@@ -279,15 +278,21 @@ def dedup_by_fingerprint(sf_dir: str):
     """Exact dedup keyed on the 64-bit content fingerprint — equals
     dedup-by-text when fingerprints are collision-free (64-bit, ~500 docs:
     collision probability ~1e-14), which the text-groupby oracle checks."""
+    from ..stages.aggregates import bucketed_group_agg
     from ..stages.text import fingerprints
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    fp = fingerprints(ds)
+    # fingerprint cardinality ~= corpus size (unbounded): pre-combine per
+    # batch, then a bucketed grouped min — not a per-group native reduce
+    fp = fingerprints(ds).map_batches(
+        lambda b: b.groupby("fingerprint", as_index=False)["doc_id"].min(),
+        batch_format="pandas",
+    )
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g.doc_id.min()]})
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fingerprint", as_index=False)["doc_id"].min()[["doc_id"]]
 
-    return fp.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
+    return bucketed_group_agg(fp, ["fingerprint"], agg, n_buckets=32)
 
 
 # --- token histogram (text analysis at scale: flat_map + combine) -----------
@@ -506,13 +511,30 @@ def embedding_dup_pairs_q(sf_dir: str):
 @register("winnow_overlap_pairs")
 def winnow_overlap_pairs_q(sf_dir: str):
     """Winnowing substring-overlap pairs (MOSS-style, SIGMOD'03) over the
-    documents table: docs sharing >= 3 selected rolling-hash fingerprints,
-    ubiquitous fingerprints (df > 10) dropped. Guarantee/count semantics
-    locked in tests -> rows-only here."""
+    documents table augmented with deterministic twins of the first 16
+    docs (a long verbatim passage spliced in-stream — no side data): docs
+    sharing >= 3 selected rolling-hash fingerprints, ubiquitous
+    fingerprints (df > 16) dropped. Guarantee/count semantics locked in
+    tests -> rows-only here."""
     from ..stages.text import winnow_overlap_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return winnow_overlap_pairs(ds, min_shared=3, max_df=10).sort(["id_a", "id_b"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b.doc_id < 16]
+        if not len(sel):
+            return b
+        extra = pd.DataFrame(
+            {
+                "doc_id": sel.doc_id.to_numpy() + 1_000_000,
+                "text": ["rewritten intro. " + t + " rewritten outro." for t in sel.text],
+            }
+        )
+        return pd.concat([b, extra], ignore_index=True)
+
+    return winnow_overlap_pairs(
+        ds.map_batches(plant, batch_format="pandas"), min_shared=3, max_df=16
+    ).sort(["id_a", "id_b"])
 
 
 @register("lang_id_scores")
