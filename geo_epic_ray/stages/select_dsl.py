@@ -76,10 +76,46 @@ def _apply_one(ds: rd.Dataset, term: str, id_col: str) -> rd.Dataset:
     return ds.map_batches(query, batch_format="pandas")
 
 
+def _branch_mask_fn(expr: str, id_col: str):
+    """Compile a ';' chain of Random/query terms into one vectorized
+    per-batch boolean-mask function; None if the chain needs global state
+    (Range) or nests another '+'."""
+    if "+" in expr:
+        return None
+    terms = [t.strip() for t in expr.split(";") if t.strip()]
+    if any(_RANGE.match(t) for t in terms):
+        return None
+
+    def mask(batch: pd.DataFrame) -> np.ndarray:
+        m = np.ones(len(batch), dtype=bool)
+        for term in terms:
+            r = _RANDOM.match(term)
+            if r:
+                ids = batch[id_col].to_numpy().astype(np.int64)
+                m &= sample_mask(ids, float(r.group(1)))
+            else:
+                m &= np.asarray(batch.eval(term), dtype=bool)
+        return m
+
+    return mask
+
+
 def select(ds: rd.Dataset, expr: str, id_col: str) -> rd.Dataset:
     """Full DSL: ';' AND-chains, one optional top-level '+' union."""
     if "+" in expr:
         left, right = expr.split("+", 1)
+        # '+' branches are pure SELECTIONS of the same rows, so the
+        # keep-last dedup degenerates to an OR of the membership masks —
+        # when both branches are per-batch-maskable (no Range), fuse to a
+        # SINGLE scan with no union and no dedup shuffle.
+        lm = _branch_mask_fn(left.strip(), id_col)
+        rm = _branch_mask_fn(right.strip(), id_col)
+        if lm is not None and rm is not None:
+
+            def keep_either(batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[lm(batch) | rm(batch)]
+
+            return ds.map_batches(keep_either, batch_format="pandas")
         a = select(ds, left.strip(), id_col)
         b = select(ds, right.strip(), id_col)
 

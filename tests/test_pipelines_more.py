@@ -178,3 +178,22 @@ def test_run_info_reader_required_columns(ray_session, tmp_path):
     bad.write_text("SiteID,lat,lon\n1,38.0,-97.0\n")
     with _pytest.raises(ValueError, match="missing required columns"):
         read_run_info(str(bad))
+
+
+def test_select_dsl_union_fused_equals_fallback(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.select_dsl import select
+
+    df = pd.DataFrame({"id": np.arange(200), "v": np.arange(200) % 17})
+    ds = rd.from_pandas(df).repartition(4)
+    # maskable branches -> fused single-scan path
+    fused = select(ds, "Random(0.25); v > 3 + v < 2", "id").to_pandas()
+    # Range forces the union+dedup fallback; same final membership
+    fb = select(ds, "Range(0.0, 1.0); Random(0.25); v > 3 + v < 2", "id").to_pandas()
+    assert set(fused.id) == set(fb.id)
+    assert len(fused) == len(set(fused.id))
+    # Range inside a '+' still routes through the fallback correctly
+    out = select(ds, "Range(0.0, 0.1) + v > 15", "id").to_pandas()
+    expect = set(range(20)) | set(np.arange(200)[(np.arange(200) % 17) > 15])
+    assert set(out.id) == expect
