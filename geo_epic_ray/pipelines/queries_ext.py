@@ -1552,6 +1552,43 @@ def multimodal_decode_resize(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+@register("multimodal_feature_ann")
+def multimodal_feature_ann(sf_dir: str):
+    """Multimodal-to-similarity end to end: media refs from the
+    interleaved corpus -> decode (stand-in) -> resize -> batched feature
+    extraction (model weights built once per actor) -> exact cosine top-5
+    of the lexically-first ref's feature vector. Codec is the documented
+    stand-in -> rows-only."""
+    from ..fixtures.documents import documents_batch
+    from ..stages.multimodal import feature_pipeline, synth_media_table
+    from ..stages.similarity import ann_topk
+
+    docs = documents_batch(np.arange(256, dtype=np.int64))
+    refs = []
+    for spans in docs["spans"].to_pylist():
+        for s in spans:
+            if s["kind"] == "image" and s["media_ref"]:
+                refs.append(s["media_ref"])
+    refs = sorted(set(refs))[:200]
+    media = synth_media_table(refs, ["image"] * len(refs))
+    feats = feature_pipeline(rd.from_arrow(media), fake=True, dim=16, concurrency=2)
+
+    def to_vecs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"media_ref": b.media_ref, "embedding": b.features}
+        )
+
+    vecs = feats.map_batches(to_vecs, batch_format="pandas").materialize()
+    q_ref = refs[0]
+    q = np.stack(
+        vecs.map_batches(
+            lambda b: b[b.media_ref == q_ref], batch_format="pandas"
+        ).to_pandas().embedding.to_numpy()
+    )
+    out = ann_topk(vecs, q, k=5, id_col="media_ref")
+    return out.select_columns(["media_ref", "rank"]).sort("rank")
+
+
 @register("validate_soil_table")
 def validate_soil_table(sf_dir: str):
     """M8 SOL validation sweep over the synthetic soil side table —

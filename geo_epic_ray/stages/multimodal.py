@@ -149,3 +149,49 @@ def decode_pipeline(media: rd.Dataset, *, fake: bool, concurrency: int = 2) -> r
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+class FeatureExtract:
+    """Batched model inference over decoded pixels: the MODEL (here a
+    deterministic random projection standing in for a vision encoder —
+    real weights are a file load in production) is built ONCE per actor in
+    ``__init__``; ``__call__`` runs one vectorized forward pass per batch
+    (stack pixels -> normalize -> matmul -> L2-normalize). This is the
+    canonical model-in-actor-init pattern: weights never re-ship per
+    batch, and batch size bounds activation memory."""
+
+    def __init__(self, dim: int = 16, target: int = 4, seed: int = 77):
+        rng = np.random.default_rng(seed)
+        self.w = rng.standard_normal((target * target * 3, dim)) / np.sqrt(dim)
+        self.in_bytes = target * target * 3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pix = batch["pixels"].to_pylist()
+        x = np.stack([np.frombuffer(p, dtype=np.uint8) for p in pix]).astype(
+            np.float64
+        )
+        if x.shape[1] != self.in_bytes:
+            raise ValueError(f"expected {self.in_bytes} pixel bytes, got {x.shape[1]}")
+        x = (x - 127.5) / 127.5
+        f = x @ self.w
+        f = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+        return batch.append_column(
+            "features", pa.array(list(f), pa.list_(pa.float64()))
+        )
+
+
+def feature_pipeline(
+    media: rd.Dataset, *, fake: bool, dim: int = 16, target: int = 4,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """decode -> resize -> batched feature extraction (actor pools end to
+    end); output rows carry a normalized ``features`` list<double> column
+    ready for the ANN / embedding-dedup stages."""
+    ds = decode_pipeline(media, fake=fake, concurrency=concurrency)
+    return ds.map_batches(
+        FeatureExtract,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"dim": dim, "target": target},
+    )

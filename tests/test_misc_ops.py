@@ -224,3 +224,36 @@ def test_ingest_side_tables(ray_session, tmp_path):
     pd.DataFrame({"mukey": [1]}).to_parquet(missing)
     with pytest.raises(ValueError, match="missing required columns"):
         ingest_soil_table(str(missing), str(tmp_path / "m_out"))
+
+
+def test_multimodal_feature_pipeline_feeds_ann(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from geo_epic_ray.stages.multimodal import (FeatureExtract,
+                                                feature_pipeline,
+                                                synth_media_table)
+    from geo_epic_ray.stages.similarity import ann_topk
+
+    refs = [f"m/{i}" for i in range(40)]
+    media = synth_media_table(refs, ["image"] * 40)
+    feats = feature_pipeline(rd.from_arrow(media), fake=True, dim=16)
+    df = feats.to_pandas()
+    assert len(df) == 40
+    mat = np.stack(df.features.to_numpy())
+    assert mat.shape == (40, 16)
+    np.testing.assert_allclose(np.linalg.norm(mat, axis=1), 1.0, rtol=1e-9)
+    # deterministic: same pipeline, same features
+    df2 = feature_pipeline(rd.from_arrow(media), fake=True, dim=16).to_pandas()
+    np.testing.assert_allclose(
+        np.stack(df2.sort_values("media_ref").features.to_numpy()),
+        np.stack(df.sort_values("media_ref").features.to_numpy()),
+    )
+    # features flow straight into ANN: top-1 neighbor of item 0's vector
+    ds = rd.from_pandas(
+        df.assign(vec_id=np.arange(40))[["vec_id", "features"]].rename(
+            columns={"features": "embedding"}
+        )
+    )
+    out = ann_topk(ds, mat[:1], k=3, exclude_ids=np.array([0])).to_pandas()
+    assert len(out) == 3 and 0 not in set(out.vec_id)
