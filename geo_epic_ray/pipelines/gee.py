@@ -56,8 +56,17 @@ def load_config(config) -> dict:
         if os.path.exists(config):
             with open(config) as fh:
                 config = yaml.safe_load(fh)
+        elif "\n" not in config and config.endswith((".yml", ".yaml")):
+            # a path-looking string that doesn't exist is a typo'd path,
+            # not inline YAML — fail with the real error
+            raise FileNotFoundError(config)
         else:
             config = yaml.safe_load(config)
+    if not isinstance(config, dict):
+        raise ValueError(
+            f"config must be a mapping, got {type(config).__name__} — "
+            "a nonexistent file path parsed as inline YAML?"
+        )
     if "global_scope" not in config:
         raise ValueError("Missing 'global_scope' in config")
     if "collections" not in config:

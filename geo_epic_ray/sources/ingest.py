@@ -22,6 +22,14 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
+def _rows_written(out_dir: str) -> int:
+    """Row count of the just-written parquet from file METADATA only — the
+    ingest pipeline executes exactly once (no re-read, no materialize)."""
+    import pyarrow.dataset as pds
+
+    return pds.dataset(out_dir, format="parquet").count_rows()
+
+
 def _require(path: str, needed: set[str]) -> list[str]:
     have = set(pq.read_schema(path).names)
     missing = needed - have
@@ -53,7 +61,7 @@ def ingest_soil_table(path: str, out_dir: str) -> int:
 
     out = ds.map_batches(norm, batch_format="pandas")
     out.write_parquet(out_dir)
-    return out.count()
+    return _rows_written(out_dir)
 
 
 def ingest_weather_grid(path: str, out_dir: str) -> int:
@@ -77,7 +85,7 @@ def ingest_weather_grid(path: str, out_dir: str) -> int:
 
     out = ds.map_batches(norm, batch_format="pandas")
     out.write_parquet(out_dir)
-    return out.count()
+    return _rows_written(out_dir)
 
 
 def ingest_raster_table(
@@ -104,7 +112,7 @@ def ingest_raster_table(
 
     out = ds.map_batches(norm, batch_format="pandas")
     out.write_parquet(out_dir)
-    return out.count()
+    return _rows_written(out_dir)
 
 
 INGESTERS = {

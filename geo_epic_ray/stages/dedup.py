@@ -130,40 +130,58 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 _CHAR_W = None
 
 
-def char_shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc sorted-UNIQUE hashes of the CHAR k-grams (utf-32 codepoints
-    — the char analogue of ``_hash_bytes_rolling``, matching SQL
-    ``substr`` semantics: a text shorter than k contributes its whole
-    string as the single shingle). Returns (hashes, offsets) with
-    hashes[offsets[i]:offsets[i+1]] = doc i's shingle hashes.
-
-    Set operations on these hashes equal set operations on the string
-    shingles up to 64-bit hash collisions (~n^2/2^64 — negligible), which
-    turns the per-pair verify into sorted-array intersections."""
+def char_rolling_hashes(text: str, k: int) -> np.ndarray:
+    """Raw positional rolling k-gram hash array of one text's utf-32
+    codepoints — the shared kernel under ``char_shingle_hashes`` (which
+    sorts/uniques it) and winnowing (which window-minimizes it; any change
+    here changes every persisted winnowing fingerprint). A text shorter
+    than k contributes its whole string as the single shingle (SQL
+    ``substr`` semantics)."""
     global _CHAR_W
     if _CHAR_W is None or _CHAR_W.size < k:
         rng = np.random.default_rng(4321)
         _CHAR_W = rng.integers(1, 1 << 62, size=max(k, 16), dtype=np.uint64) | np.uint64(1)
     w = _CHAR_W[:k]
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = codes.size
+    if n < k:
+        return np.array(
+            [(codes * w[:n]).sum(dtype=np.uint64) + np.uint64(n)], dtype=np.uint64
+        )
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = (win * w[None, :]).sum(axis=1, dtype=np.uint64)
+    return (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
+
+
+def char_shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-UNIQUE hashes of the CHAR k-grams (utf-32 codepoints
+    — the char analogue of ``_hash_bytes_rolling``). Returns
+    (hashes, offsets) with hashes[offsets[i]:offsets[i+1]] = doc i's
+    shingle hashes.
+
+    Set operations on these hashes equal set operations on the string
+    shingles up to 64-bit hash collisions (~n^2/2^64 — negligible), which
+    turns the per-pair verify into sorted-array intersections."""
     out = []
     offsets = [0]
     for t in texts:
-        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-        n = codes.size
-        if n < k:
-            h = np.array(
-                [(codes * w[:n]).sum(dtype=np.uint64) + np.uint64(n)], dtype=np.uint64
-            )
-        else:
-            win = np.lib.stride_tricks.sliding_window_view(codes, k)
-            h = (win * w[None, :]).sum(axis=1, dtype=np.uint64)
-            h = (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
-        out.append(np.unique(h))
+        out.append(np.unique(char_rolling_hashes(t, k)))
         offsets.append(offsets[-1] + out[-1].size)
     return (
         np.concatenate(out) if out else np.empty(0, dtype=np.uint64),
         np.asarray(offsets, dtype=np.int64),
     )
+
+
+def pair_bucket_keys(id_a: np.ndarray, id_b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket of a candidate pair by hashing BOTH member ids
+    — one shared formula for every grouped pair-dedup/verify pass (all
+    duplicates of a pair land in one bucket regardless of which band/
+    chunk/fingerprint emitted them)."""
+    h = id_a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ id_b.astype(
+        np.uint64
+    ) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return (h % np.uint64(n_buckets)).astype("int64")
 
 
 def jaccard_sorted(ua: np.ndarray, ub: np.ndarray) -> float:
@@ -245,15 +263,20 @@ def pair_payload_verify(
     joined = bucket_join(members, payload, on=id_col, n_buckets=n_buckets)
 
     def pbucket(b: pd.DataFrame) -> pd.DataFrame:
-        h = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(
-            0x9E3779B97F4A7C15
-        ) ^ b["id_b"].to_numpy().astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
         b = b.copy()
-        b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
+        b["__pb"] = pair_bucket_keys(
+            b["id_a"].to_numpy(), b["id_b"].to_numpy(), n_buckets
+        )
         return b
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
-        return verify_bucket_fn(g.drop(columns="__pb"))
+        g = g.drop(columns="__pb")
+        # a pair is verifiable only if BOTH member payload rows joined
+        # (a caller-supplied payload subset may lack one side) — drop the
+        # incomplete pair's rows instead of KeyError-ing the whole job
+        present = set(g[id_col])
+        ok = g["id_a"].isin(present).to_numpy() & g["id_b"].isin(present).to_numpy()
+        return verify_bucket_fn(g[ok] if not ok.all() else g)
 
     return (
         joined.map_batches(pbucket, batch_format="pandas")
@@ -493,11 +516,10 @@ def simhash_dup_pairs(
     # cross-chunk duplicates of a pair live in different chunk buckets:
     # one grouped pass by pair hash dedups them distributed
     def pbucket(b: pd.DataFrame) -> pd.DataFrame:
-        h = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(
-            0x9E3779B97F4A7C15
-        ) ^ b["id_b"].to_numpy().astype(np.uint64)
         b = b.copy()
-        b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
+        b["__pb"] = pair_bucket_keys(
+            b["id_a"].to_numpy(), b["id_b"].to_numpy(), n_buckets
+        )
         return b
 
     return (

@@ -133,9 +133,11 @@ class FrameSample:
         ).append_column("n_frames_sampled", pa.array(counts, pa.int64()))
 
 
-def decode_pipeline(media: rd.Dataset, *, fake: bool, concurrency: int = 2) -> rd.Dataset:
-    """The canonical multimodal chain: decode -> resize, actor pools with
-    small batches (wide rows)."""
+def decode_pipeline(
+    media: rd.Dataset, *, fake: bool, target: int = 4, concurrency: int = 2
+) -> rd.Dataset:
+    """The canonical multimodal chain: decode -> resize to (target,
+    target), actor pools with small batches (wide rows)."""
     ds = media.map_batches(
         ImageDecode,
         batch_format="pyarrow",
@@ -148,6 +150,7 @@ def decode_pipeline(media: rd.Dataset, *, fake: bool, concurrency: int = 2) -> r
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,
+        fn_constructor_kwargs={"target": target},
     )
 
 
@@ -187,7 +190,7 @@ def feature_pipeline(
     """decode -> resize -> batched feature extraction (actor pools end to
     end); output rows carry a normalized ``features`` list<double> column
     ready for the ANN / embedding-dedup stages."""
-    ds = decode_pipeline(media, fake=fake, concurrency=concurrency)
+    ds = decode_pipeline(media, fake=fake, target=target, concurrency=concurrency)
     return ds.map_batches(
         FeatureExtract,
         batch_format="pyarrow",

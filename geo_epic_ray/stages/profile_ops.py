@@ -301,11 +301,15 @@ def fit_double_logistic(t: np.ndarray, y: np.ndarray) -> np.ndarray:
     def loss(p):
         return float(np.nanmean((double_logistic(t, p) - y) ** 2))
 
-    # curve_fit-parity first (LM least squares), Nelder-Mead as the
-    # derivative-free fallback when LM stalls on a bad simplex start
+    # curve_fit-parity first (LM least squares); the derivative-free
+    # Nelder-Mead fallback runs ONLY when LM stalls (fails to halve the
+    # initial loss) — not on every call
     p_lm = levenberg_marquardt(double_logistic, t, y, x0)
+    l_lm = loss(p_lm)
+    if l_lm <= 0.5 * loss(x0):
+        return p_lm
     p_nm = nelder_mead(loss, x0)
-    return p_lm if loss(p_lm) <= loss(p_nm) else p_nm
+    return p_lm if l_lm <= loss(p_nm) else p_nm
 
 
 def asymmetric_gaussian(t, params):
@@ -327,5 +331,8 @@ def fit_asymmetric_gaussian(t: np.ndarray, y: np.ndarray) -> np.ndarray:
         return float(np.nanmean((asymmetric_gaussian(t, p) - y) ** 2))
 
     p_lm = levenberg_marquardt(asymmetric_gaussian, t, y, x0)
+    l_lm = loss(p_lm)
+    if l_lm <= 0.5 * loss(x0):  # LM converged — skip the NM fallback
+        return p_lm
     p_nm = nelder_mead(loss, x0)
-    return p_lm if loss(p_lm) <= loss(p_nm) else p_nm
+    return p_lm if l_lm <= loss(p_nm) else p_nm

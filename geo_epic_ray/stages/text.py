@@ -175,23 +175,12 @@ def winnow_batch(
     a sliding-window-minimum per doc. Returns (hashes, offsets):
     hashes[offsets[i]:offsets[i+1]] = doc i's sorted-unique selected
     fingerprints."""
-    from . import dedup as _d
+    from .dedup import char_rolling_hashes
 
-    _d.char_shingle_hashes([""], k)  # seed the shared shingle weights
-    w = _d._CHAR_W[:k]
     out = []
     offsets = [0]
     for t in texts:
-        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-        n = codes.size
-        if n < k:
-            h = np.array(
-                [(codes * w[:n]).sum(dtype=np.uint64) + np.uint64(n)], dtype=np.uint64
-            )
-        else:
-            win = np.lib.stride_tricks.sliding_window_view(codes, k)
-            h = (win * w[None, :]).sum(axis=1, dtype=np.uint64)
-            h = (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
+        h = char_rolling_hashes(t, k)
         if h.size > window:
             mins = np.min(
                 np.lib.stride_tricks.sliding_window_view(h, window), axis=1
@@ -283,11 +272,12 @@ def winnow_overlap_pairs(
     )
 
     def pbucket(b: pd.DataFrame) -> pd.DataFrame:
-        h = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(
-            0x9E3779B97F4A7C15
-        ) ^ b["id_b"].to_numpy().astype(np.uint64)
+        from .dedup import pair_bucket_keys
+
         b = b.copy()
-        b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
+        b["__pb"] = pair_bucket_keys(
+            b["id_a"].to_numpy(), b["id_b"].to_numpy(), n_buckets
+        )
         return b
 
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
