@@ -46,6 +46,9 @@ def __getattr__(name):
         "ann_topk": "geo_epic_ray.stages.similarity",
         "TDigest": "geo_epic_ray.stages.sketches",
         "HLL": "geo_epic_ray.stages.sketches",
+        "CountMinSketch": "geo_epic_ray.stages.sketches",
+        "connected_components": "geo_epic_ray.stages.components",
+        "kmeans_fit": "geo_epic_ray.stages.cluster",
     }
     if name in surface:
         import importlib

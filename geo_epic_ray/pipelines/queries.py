@@ -579,3 +579,6 @@ def text_quality(sf_dir: str):
 
 # load part 2 of the registry (registers into the same dicts)
 from . import queries_ext as _queries_ext  # noqa: E402,F401
+
+# load part 3 of the registry (round-2 additions)
+from . import queries_ext2 as _queries_ext2  # noqa: E402,F401

@@ -1,0 +1,357 @@
+"""Query registry, part 3 (round 2 additions): graph clustering for
+near-dup groups, window-frame rolling aggregates, per-group top-k, pivot
+(wide conditional aggregation), distributed k-means, and count-min
+frequency estimation.
+
+Registered into the same QUERIES/ORACLES dicts as pipelines.queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .queries import register
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+# --- near-dup clusters: blocked Jaccard pairs -> connected components -------
+
+# Edges: doc pairs in the same (n_chars, lang) block (a standard cheap
+# dedup blocking key) with char-5-gram Jaccard >= 0.2; components give the
+# keep-one-canonical cluster ids. The engine runs the GENERIC distributed
+# hash-to-min algorithm (stages/components.py); the oracle computes the
+# same fixpoint with a recursive transitive closure (fine at gate scale).
+_CC_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT d1.doc_id AS id_a, d2.doc_id AS id_b, d1.text AS ta, d2.text AS tb
+  FROM documents d1 JOIN documents d2
+    ON d1.n_chars = d2.n_chars AND d1.lang = d2.lang AND d2.doc_id > d1.doc_id
+),
+sa AS (
+  SELECT DISTINCT id_a, id_b, substr(ta, CAST(i AS INT), 5) AS sh
+  FROM (SELECT id_a, id_b, ta, unnest(generate_series(1, greatest(1, length(ta) - 4))) AS i FROM pairs)
+),
+sb AS (
+  SELECT DISTINCT id_a, id_b, substr(tb, CAST(i AS INT), 5) AS sh
+  FROM (SELECT id_a, id_b, tb, unnest(generate_series(1, greatest(1, length(tb) - 4))) AS i FROM pairs)
+),
+inter AS (
+  SELECT sa.id_a, sa.id_b, count(*) AS n FROM sa
+  JOIN sb ON sa.id_a = sb.id_a AND sa.id_b = sb.id_b AND sa.sh = sb.sh
+  GROUP BY 1, 2
+),
+na AS (SELECT id_a, id_b, count(*) AS n FROM sa GROUP BY 1, 2),
+nb AS (SELECT id_a, id_b, count(*) AS n FROM sb GROUP BY 1, 2),
+edges AS (
+  SELECT na.id_a, na.id_b
+  FROM na JOIN nb ON na.id_a = nb.id_a AND na.id_b = nb.id_b
+  LEFT JOIN inter ON na.id_a = inter.id_a AND na.id_b = inter.id_b
+  WHERE COALESCE(inter.n, 0) * 1.0
+        / (na.n + nb.n - COALESCE(inter.n, 0)) >= 0.2
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1
+"""
+
+
+@register("dedup_components", _CC_SQL)
+def dedup_components(sf_dir: str):
+    """Near-duplicate CLUSTERS (not just pairs): equality-block by
+    (n_chars, lang), all-pairs + exact char-5-gram Jaccard >= 0.2 verify
+    in ONE shuffle (stages/dedup.py blocked_pair_edges — text rides the
+    block shuffle, shingles built once per doc per bucket), then GENERIC
+    distributed connected components (stages/components.py: local
+    union-find closure per bucket + hash-to-min emissions, one bucketed
+    shuffle per round) labels every doc with its cluster's min doc_id.
+    Canonical-doc selection is then ``component == doc_id``."""
+    from ..stages.components import connected_components
+    from ..stages.dedup import blocked_pair_edges
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    edges = blocked_pair_edges(
+        docs, ["n_chars", "lang"], "doc_id", "text", threshold=0.2
+    )
+    nodes = docs.select_columns(["doc_id"]).map_batches(
+        lambda b: pd.DataFrame({"id_a": b.doc_id}), batch_format="pandas"
+    )
+    return connected_components(
+        edges.select_columns(["id_a", "id_b"]),
+        nodes,
+        node_col="doc_id",
+        label_col="component",
+    )
+
+
+# --- window frame: 7-row rolling mean of daily event counts ------------------
+
+
+@register(
+    "rolling_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, n,
+           round_even(sum(n) OVER w * 1.0 / count(n) OVER w, 4) AS avg7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_daily_events(sf_dir: str):
+    """Window-frame aggregate (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW):
+    daily event counts per type with their 7-row trailing mean. Counts are
+    integers, so the rolling sum is exact and the single double division
+    matches SQL bit-for-bit. Partial per-batch counts -> bucketed grouped
+    merge + in-group vectorized rolling (pandas .rolling) — the group is
+    calendar-bounded, never corpus-bounded."""
+    from ..stages.aggregates import bucketed_group_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.assign(d=b.ts.dt.floor("D"), one=1)
+            .groupby(["event_type", "d"], as_index=False)["one"]
+            .sum()
+        )
+        return g.rename(columns={"one": "n"})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type"):
+            g = g.groupby("d", as_index=False)["n"].sum().sort_values("d")
+            s = g.n.rolling(7, min_periods=1).sum()
+            c = g.n.rolling(7, min_periods=1).count()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "d": pd.to_datetime(g.d),
+                        "n": g.n.astype("int64"),
+                        "avg7": (s / c).round(4),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["event_type"], agg, n_buckets=8
+    )
+
+
+# --- per-group top-k (window rank) ------------------------------------------
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(sf_dir: str):
+    """Top-3 orders per customer by price (deterministic tie-break on
+    orderkey). Per-batch partial top-3 per key bounds the shuffle to
+    3 rows/key/batch; a bucketed grouped pass finishes — the global-top-k
+    sibling of top_orders_by_price, keyed per group."""
+    from ..stages.aggregates import bucketed_group_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        )
+        return b.groupby("o_custkey", as_index=False, sort=False).head(3)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        )
+        out = df.groupby("o_custkey", as_index=False, sort=False).head(3).copy()
+        out["rank"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["o_custkey"], agg
+    )
+
+
+# --- pivot: wide conditional aggregation ------------------------------------
+
+
+@register(
+    "pivot_lang_counts",
+    """
+    SELECT source,
+      count(CASE WHEN lang = 'de' THEN 1 END) AS n_de,
+      count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+      count(CASE WHEN lang = 'es' THEN 1 END) AS n_es,
+      count(CASE WHEN lang = 'fr' THEN 1 END) AS n_fr,
+      count(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh,
+      count(*) AS n_total
+    FROM documents GROUP BY source
+    """,
+)
+def pivot_lang_counts(sf_dir: str):
+    """Pivot documents to one wide row per source with per-language
+    counts (conditional aggregation). Partial (source, lang) counts per
+    batch, bucketed grouped merge, in-group pivot to the fixed language
+    columns."""
+    from ..stages.aggregates import bucketed_group_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.assign(one=1)
+            .groupby(["source", "lang"], as_index=False)["one"]
+            .sum()
+        )
+        return g.rename(columns={"one": "n"})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False)["n"].sum()
+        out = []
+        for src, grp in g.groupby("source"):
+            by = dict(zip(grp.lang, grp.n))
+            row = {"source": src}
+            for lang in _LANGS:
+                row[f"n_{lang}"] = np.int64(by.get(lang, 0))
+            row["n_total"] = np.int64(grp.n.sum())
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["source"], agg, n_buckets=8
+    )
+
+
+# --- distributed k-means (rows-only: iterative, not SQL-expressible) ---------
+
+
+@register("kmeans_embeddings")
+def kmeans_embeddings(sf_dir: str):
+    """Lloyd k-means over the embedding table (stages/cluster.py):
+    centroids broadcast per iteration, per-batch vectorized assignment +
+    partial sums, bounded driver merge. Deterministic init (k smallest
+    vec_ids). Exactness vs a single-process numpy twin is locked in
+    tests/test_cluster.py; the gate checks rows-only."""
+    from ..stages.cluster import kmeans_fit
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _, stats = kmeans_fit(ds, k=8, n_iter=4)
+    stats = stats.copy()
+    stats["inertia"] = stats["inertia"].round(3)
+    return stats
+
+
+# --- count-min frequency estimates (rows-only: sketch, estimate) -------------
+
+
+@register("cms_token_counts")
+def cms_token_counts(sf_dir: str):
+    """Count-min sketch token frequencies vs exact counts for the
+    heavy-hitter tokens: the CMS estimate must be >= the true count
+    (one-sided error) and close at this width. Exact side reuses the
+    scale-safe bucketed histogram; the CMS side is one streaming pass of
+    mergeable per-batch sketches."""
+    from ..stages.aggregates import bucketed_group_agg
+    from ..stages.sketches import cms_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode_count(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.text.str.split(" ").explode()
+        g = toks.groupby(toks).size()
+        return pd.DataFrame({"tok": g.index, "partial": g.values})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)["partial"].sum().rename(
+            columns={"partial": "n"}
+        )
+        return g[g.n >= 50]
+
+    exact = bucketed_group_agg(
+        ds.map_batches(explode_count, batch_format="pandas"), ["tok"], agg
+    ).to_pandas()  # driver merge bounded: tokens with >= 50 occurrences
+    top = exact.sort_values(["n", "tok"], ascending=[False, True]).head(20)
+
+    def explode_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.text.str.split(" ").explode()
+        return pd.DataFrame({"tok": toks.to_numpy()})
+
+    est = cms_counts(
+        ds.map_batches(explode_tokens, batch_format="pandas"),
+        "tok",
+        top.tok.to_numpy(),
+    )
+    out = top.reset_index(drop=True).copy()
+    out["cms_n"] = est
+    out["one_sided_ok"] = out.cms_n >= out.n
+    return out.rename(columns={"n": "exact_n"})
+
+
+# --- grouped approximate quantiles (sketch, rows-only) -----------------------
+
+
+@register("grouped_quantiles_tdigest")
+def grouped_quantiles_tdigest(sf_dir: str):
+    """A2 percentile profile at scale: per-key t-digests (mergeable, a few
+    hundred centroids per key regardless of group size) vs the exact
+    per-group quantiles — reported side by side with the absolute error.
+    Exactness of the digest is bounded by rank error, not value error, so
+    the gate checks rows-only; accuracy is locked in tests."""
+    from ..stages.aggregates import bucketed_group_agg
+    from ..stages.sketches import grouped_tdigest_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    est = grouped_tdigest_quantiles(
+        ds, "event_type", "value", [0.1, 0.5, 0.9], n_buckets=8
+    ).to_pandas()  # 5 keys
+
+    def exact_agg(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k_, g in df.groupby("event_type"):
+            v = g.value.to_numpy()
+            rows.append(
+                {
+                    "event_type": k_,
+                    "e10": np.quantile(v, 0.1),
+                    "e50": np.quantile(v, 0.5),
+                    "e90": np.quantile(v, 0.9),
+                }
+            )
+        return pd.DataFrame(rows, columns=["event_type", "e10", "e50", "e90"])
+
+    exact = bucketed_group_agg(ds, ["event_type"], exact_agg, n_buckets=8).to_pandas()
+    out = est.merge(exact, on="event_type").sort_values("event_type")
+    for c, e in [("p10", "e10"), ("p50", "e50"), ("p90", "e90")]:
+        out[f"err_{c}"] = (out[c] - out[e]).abs().round(4)
+        out[c] = out[c].round(4)
+        out[e] = out[e].round(4)
+    return out.reset_index(drop=True)

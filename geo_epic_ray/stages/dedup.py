@@ -650,3 +650,78 @@ def embedding_dup_pairs(
         return out[out.cosine >= threshold]
 
     return pair_payload_verify(cand, payload, id_col, verify_bucket, n_buckets)
+
+
+def blocked_pair_edges(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.2,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Near-dup edges from EQUALITY blocking (one block key per doc, e.g.
+    (n_chars, lang)) in ONE shuffle: rows (id, keys, text) hash-bucket by
+    block key; inside each bucket a groupby over the exact key tuple
+    generates all pairs and verifies char-k-gram Jaccard in place —
+    shingle sets built once per doc per bucket, no payload rejoin needed
+    (contrast minhash_dedup_pairs, where a doc appears in many bands and
+    the rejoin earns its shuffle). Salt skew-prone block keys upstream
+    (stages/partition.py). Returns (id_a, id_b, jaccard), id_a < id_b."""
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in key_cols:
+            h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                b[k].to_numpy()
+            ).astype(np.uint64)
+        out = b[[id_col, text_col, *key_cols]].copy()
+        out["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    empty = pd.DataFrame(
+        {
+            "id_a": np.empty(0, np.int64),
+            "id_b": np.empty(0, np.int64),
+            "jaccard": np.empty(0, float),
+        }
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        g = g.drop(columns="__bucket").reset_index(drop=True)
+        hs, offs = char_shingle_hashes(g[text_col].tolist(), shingle_k)
+        sets = [np.unique(hs[offs[i] : offs[i + 1]]) for i in range(len(g))]
+        out_a, out_b, out_j = [], [], []
+        for _, grp in g.groupby(key_cols):
+            if len(grp) < 2:
+                continue
+            order = np.argsort(grp[id_col].to_numpy())
+            pos = grp.index.to_numpy()[order]
+            ids = grp[id_col].to_numpy()[order]
+            for i in range(len(ids)):
+                si = sets[pos[i]]
+                for j in range(i + 1, len(ids)):
+                    jac = jaccard_sorted(si, sets[pos[j]])
+                    if jac >= threshold:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_j.append(jac)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.array(out_a, np.int64),
+                "id_b": np.array(out_b, np.int64),
+                "jaccard": np.array(out_j, float),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

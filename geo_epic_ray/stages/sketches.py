@@ -198,3 +198,114 @@ def tdigest_quantiles(
     for blob in parts.digest:
         acc = acc.merge(TDigest.from_bytes(blob, delta))
     return {q: acc.quantile(q) for q in qs}
+
+
+class CountMinSketch:
+    """Count-min frequency sketch (Cormode & Muthukrishnan '05): ``depth``
+    rows x ``width`` counters; an item's estimate is the min over its
+    ``depth`` hashed counters — always >= the true count, over by at most
+    eps*N (eps ~ e/width) with probability 1-delta (delta ~ e^-depth).
+    Mergeable by element-wise addition, so the scale pattern mirrors HLL:
+    one sketch per batch from map_batches, small driver-side merge — token
+    frequency estimates at corpus scale without shuffling the vocabulary."""
+
+    def __init__(self, depth: int = 4, width: int = 1 << 14, table: np.ndarray | None = None):
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64) if table is None else table
+
+    def _cols(self, values: np.ndarray) -> np.ndarray:
+        h = _hash64(values)
+        # row salts via array multiply (silent uint64 wraparound)
+        salts = np.arange(self.depth, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        cols = np.empty((self.depth, h.size), dtype=np.int64)
+        for r in range(self.depth):
+            hr = splitmix64(h + salts[r])
+            cols[r] = (hr % np.uint64(self.width)).astype(np.int64)
+        return cols
+
+    def add(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
+        if values.size == 0:
+            return self
+        c = np.ones(values.size, dtype=np.int64) if counts is None else counts.astype(np.int64)
+        cols = self._cols(values)
+        for r in range(self.depth):
+            np.add.at(self.table[r], cols[r], c)
+        return self
+
+    def estimate(self, values: np.ndarray) -> np.ndarray:
+        if values.size == 0:
+            return np.empty(0, dtype=np.int64)
+        cols = self._cols(values)
+        ests = np.stack([self.table[r][cols[r]] for r in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.table.shape == other.table.shape
+        return CountMinSketch(self.depth, self.width, self.table + other.table)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, depth: int = 4, width: int = 1 << 14) -> "CountMinSketch":
+        return cls(depth, width, np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy())
+
+
+def cms_counts(
+    ds: rd.Dataset, col: str, probe: np.ndarray, *, depth: int = 4, width: int = 1 << 14
+) -> np.ndarray:
+    """Estimated frequencies of ``probe`` values: one CMS per batch,
+    merged driver-side (constant size per block)."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        s = CountMinSketch(depth, width).add(b[col].to_numpy())
+        return pd.DataFrame({"cms": [s.to_bytes()]})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    acc = CountMinSketch(depth, width)
+    for blob in parts.cms:
+        acc = acc.merge(CountMinSketch.from_bytes(blob, depth, width))
+    return acc.estimate(probe)
+
+
+def grouped_tdigest_quantiles(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    *,
+    delta: int = 200,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Grouped approximate quantiles — the scale path for A2 percentile
+    profiles when the key is high-cardinality (exact per-group quantiles
+    must hold whole groups; digests are a few hundred centroids per key
+    regardless of group size). One digest per (key, batch) from
+    map_batches, merged per key inside a bucketed grouped pass."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        ks, blobs = [], []
+        for k_, g in b.groupby(key):
+            ks.append(k_)
+            blobs.append(TDigest(delta).add(g[col].to_numpy()).to_bytes())
+        return pd.DataFrame({key: ks, "digest": blobs})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k_, g in df.groupby(key):
+            acc = TDigest(delta)
+            for blob in g.digest:
+                acc = acc.merge(TDigest.from_bytes(blob, delta))
+            row = {key: k_}
+            for q in qs:
+                row[f"p{round(q * 100):02d}"] = acc.quantile(q)
+            rows.append(row)
+        cols = [key] + [f"p{round(q * 100):02d}" for q in qs]
+        return pd.DataFrame(rows, columns=cols)
+
+    from .aggregates import bucketed_group_agg
+
+    return bucketed_group_agg(
+        ds.map_batches(sketch, batch_format="pandas"), [key], agg, n_buckets=n_buckets
+    )

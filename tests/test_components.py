@@ -1,0 +1,103 @@
+"""Distributed connected components vs a union-find oracle."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from geo_epic_ray.stages.components import connected_components, union_find_components
+
+
+def _run(edges, nodes):
+    e = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "id_a": np.array([a for a, _ in edges] or [0], dtype=np.int64)[: len(edges)],
+                "id_b": np.array([b for _, b in edges] or [0], dtype=np.int64)[: len(edges)],
+            }
+        )
+    )
+    n = rd.from_pandas(pd.DataFrame({"id_a": np.array(nodes, dtype=np.int64)}))
+    out = connected_components(e, n, n_buckets=4).to_pandas()
+    return dict(zip(out.node, out.component))
+
+
+def test_cc_path_star_clique_isolated(ray_session):
+    edges = (
+        [(i, i + 1) for i in range(10, 18)]  # path 10..18
+        + [(20, j) for j in range(21, 26)]  # star at 20
+        + [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]  # clique 30..33
+    )
+    nodes = list(range(10, 19)) + list(range(20, 26)) + list(range(30, 34)) + [40, 41]
+    got = _run(edges, nodes)
+    want = union_find_components(edges, nodes)
+    assert got == want
+    assert got[40] == 40 and got[41] == 41  # isolated
+    assert all(got[i] == 10 for i in range(10, 19))
+    assert all(got[i] == 20 for i in range(20, 26))
+    assert all(got[i] == 30 for i in range(30, 34))
+
+
+def test_cc_random_graphs_match_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 200
+        m = [40, 150, 400][trial]
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        edges = list(zip(a.tolist(), b.tolist()))
+        nodes = list(range(n))
+        got = _run(edges, nodes)
+        want = union_find_components(edges, nodes)
+        assert got == want
+
+
+def test_cc_empty_edges(ray_session):
+    got = _run([], [1, 2, 3])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_blocked_pair_edges_matches_bruteforce(ray_session):
+    import itertools
+
+    from geo_epic_ray.stages.dedup import (
+        blocked_pair_edges,
+        char_shingle_hashes,
+        jaccard_sorted,
+    )
+
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    texts, langs = [], []
+    for i in range(80):
+        base = [words[w] for w in rng.integers(0, len(words), 8)]
+        texts.append(" ".join(base))
+        langs.append(["en", "de"][int(rng.integers(0, 2))])
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    got = (
+        blocked_pair_edges(ds, ["n_chars", "lang"], "doc_id", "text", threshold=0.3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force oracle
+    hs, offs = char_shingle_hashes(texts, 5)
+    sets = [np.unique(hs[offs[i] : offs[i + 1]]) for i in range(len(texts))]
+    want = []
+    for i, j in itertools.combinations(range(80), 2):
+        if (df.n_chars[i], df.lang[i]) != (df.n_chars[j], df.lang[j]):
+            continue
+        jac = jaccard_sorted(sets[i], sets[j])
+        if jac >= 0.3:
+            want.append((i, j, jac))
+    assert len(got) == len(want)
+    for (a, b, j), (_, row) in zip(want, got.iterrows()):
+        assert (row.id_a, row.id_b) == (a, b)
+        assert row.jaccard == j
