@@ -49,6 +49,10 @@ def __getattr__(name):
         "CountMinSketch": "geo_epic_ray.stages.sketches",
         "connected_components": "geo_epic_ray.stages.components",
         "kmeans_fit": "geo_epic_ray.stages.cluster",
+        "explode_spans": "geo_epic_ray.stages.spans",
+        "reassemble_spans": "geo_epic_ray.stages.spans",
+        "filter_spans": "geo_epic_ray.stages.spans",
+        "span_stats": "geo_epic_ray.stages.spans",
     }
     if name in surface:
         import importlib

@@ -355,3 +355,64 @@ def grouped_quantiles_tdigest(sf_dir: str):
         out[c] = out[c].round(4)
         out[e] = out[e].round(4)
     return out.reset_index(drop=True)
+
+
+# --- interleaved-span operators (rows-only: the driver's parquet documents
+# table is flat; these run on the deterministic interleaved fixture) ----------
+
+
+@register("span_roundtrip")
+def span_roundtrip(sf_dir: str):
+    """The north-rule per-row invariant as a gate: explode the interleaved
+    corpus to one-row-per-span, hash-partition + reassemble, and compare
+    the order-sensitive span-sequence hash (state/manifest.span_hash_of)
+    of output vs input. match must be True."""
+    import pyarrow as pa
+
+    from ..fixtures.documents import documents_batch
+    from ..stages.spans import explode_spans, reassemble_spans
+    from ..state.manifest import span_hash_of
+
+    table = documents_batch(np.arange(2000, dtype=np.int64))
+    ds = rd.from_arrow(table).repartition(8)
+    rt = reassemble_spans(explode_spans(ds), n_buckets=8)
+    out = pa.concat_tables(
+        [pa.table(b) for b in rt.iter_batches(batch_format="pyarrow")]
+    )
+    h_in, h_out = span_hash_of(table), span_hash_of(out)
+    return pd.DataFrame(
+        {
+            "n_docs_in": [table.num_rows],
+            "n_docs_out": [out.num_rows],
+            "hash_in": [h_in],
+            "hash_out": [h_out],
+            "match": [h_in == h_out and table.num_rows == out.num_rows],
+        }
+    )
+
+
+@register("span_kind_stats")
+def span_kind_stats(sf_dir: str):
+    """Per-kind span census over the interleaved corpus: explode (zero-copy
+    Arrow flatten) -> partial counts/char-sums per kind -> tiny grouped
+    merge. The media/text split that sizes a multimodal pipeline's decode
+    stages."""
+    from ..fixtures.documents import documents_batch
+    from ..stages.aggregates import partials_to_driver
+    from ..stages.spans import explode_spans
+
+    table = documents_batch(np.arange(2000, dtype=np.int64))
+    long = explode_spans(rd.from_arrow(table).repartition(8))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(chars=b.text.str.len(), one=1).groupby("kind", as_index=False).agg(
+            n=("one", "sum"), chars=("chars", "sum")
+        )
+        return g
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("kind", as_index=False).sum()
+        return g.sort_values("kind").reset_index(drop=True)
+
+    # driver merge bounded: 3 kinds x #blocks
+    return partials_to_driver(long.map_batches(partial, batch_format="pandas"), final)
