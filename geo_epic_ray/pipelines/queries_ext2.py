@@ -416,3 +416,91 @@ def span_kind_stats(sf_dir: str):
 
     # driver merge bounded: 3 kinds x #blocks
     return partials_to_driver(long.map_batches(partial, batch_format="pandas"), final)
+
+
+# --- incremental dedup: new docs vs a prior corpus snapshot ------------------
+
+
+@register(
+    "incremental_dedup_new",
+    """
+    WITH split AS (SELECT (max(doc_id) + 1) // 2 AS s FROM documents)
+    SELECT d.doc_id FROM documents d, split
+    WHERE d.doc_id >= split.s
+      AND NOT EXISTS (
+        SELECT 1 FROM documents o
+        WHERE o.doc_id < split.s
+          AND substr(o.text, 1, 10) = substr(d.text, 1, 10)
+      )
+    """,
+)
+def incremental_dedup_new(sf_dir: str):
+    """Incremental-ingestion dedup: keep only NEW docs (id >= split) whose
+    10-char blocking prefix was never seen in the OLD corpus (id < split).
+    The scale shape: a constant-size Bloom filter of old prefix
+    fingerprints is merged driver-side and broadcast (NOT the key set);
+    Bloom misses are definitely-novel and never shuffle; only the Bloom
+    hits (true dups + ~0 false positives) go through an exact bucketed
+    anti-join on the prefix string. Exactness never depends on the hash:
+    the residual check compares the prefixes themselves."""
+    import ray
+
+    from ..stages.sketches import BloomFilter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    split = (docs.max("doc_id") + 1) // 2
+
+    def prefixed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b.doc_id, "prefix": b.text.str.slice(0, 10)})
+
+    pref = docs.map_batches(prefixed, batch_format="pandas")
+    old = pref.filter(expr=f"doc_id < {split}")
+    new = pref.filter(expr=f"doc_id >= {split}")
+
+    def bloom_partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = BloomFilter(1 << 20, 4).add(b.prefix.to_numpy())
+        return pd.DataFrame({"bits": [f.bits.tobytes()]})
+
+    parts = old.map_batches(bloom_partial, batch_format="pandas").to_pandas()
+    acc = BloomFilter(1 << 20, 4)
+    for blob in parts.bits:  # constant-size per block
+        acc.bits |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(acc)
+
+    def split_by_bloom(hit: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            fl = ray.get(bloom_ref)
+            m = fl.contains(b.prefix.to_numpy())
+            return b[m] if hit else b[~m]
+
+        return f
+
+    novel_fast = new.map_batches(split_by_bloom(False), batch_format="pandas")
+    candidates = new.map_batches(split_by_bloom(True), batch_format="pandas")
+
+    # exact residual: bucketed anti-join of candidates vs old prefixes
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__side"] = side
+            b["__bucket"] = (
+                pd.util.hash_array(b.prefix.to_numpy()) % np.uint64(32)
+            ).astype("int64")
+            return b
+
+        return f
+
+    both = old.map_batches(tag(0), batch_format="pandas").union(
+        candidates.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g.loc[g.__side == 0, "prefix"])
+        cand = g[g.__side == 1]
+        keep = cand[~cand.prefix.isin(seen)]
+        return keep[["doc_id"]].astype({"doc_id": "int64"})
+
+    rescued = (
+        both.groupby("__bucket").map_groups(anti, batch_format="pandas")
+    )
+    return novel_fast.select_columns(["doc_id"]).union(rescued)
