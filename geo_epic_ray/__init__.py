@@ -48,6 +48,7 @@ def __getattr__(name):
         "HLL": "geo_epic_ray.stages.sketches",
         "CountMinSketch": "geo_epic_ray.stages.sketches",
         "connected_components": "geo_epic_ray.stages.components",
+        "blocked_components": "geo_epic_ray.stages.components",
         "kmeans_fit": "geo_epic_ray.stages.cluster",
         "explode_spans": "geo_epic_ray.stages.spans",
         "reassemble_spans": "geo_epic_ray.stages.spans",

@@ -1138,7 +1138,11 @@ def asof_last_purchase(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_type"]
     ).map_batches(lambda b: b[b.event_type == "purchase"].drop(columns="event_type"),
                   batch_format="pandas")
-    out = asof_join(clicks, purchases, by="user_id", on="ts", right_cols=["value"])
+    out = asof_join(
+        clicks, purchases, by="user_id", on="ts", right_cols=["value"],
+        left_cols=["user_id", "event_id", "ts"],
+        int_dtypes={"user_id": np.int64, "event_id": np.int64},
+    )
 
     def finish(b: pd.DataFrame) -> pa.Table:
         # Emit Arrow directly: the oracle's no-match rows are SQL NULLs,

@@ -95,6 +95,26 @@ def dedup_components(sf_dir: str):
     )
 
 
+@register("dedup_clusters_blocked", _CC_SQL)
+def dedup_clusters_blocked(sf_dir: str):
+    """Same clusters as ``dedup_components`` via the BLOCK-LOCAL fast path
+    (stages/components.py blocked_components): when candidate edges are
+    generated only inside an equality block, components cannot span
+    blocks, so ONE bucketed shuffle + a per-bucket min-label closure
+    replaces the iterative hash-to-min rounds — count stages first. The
+    generic operator remains gated by ``dedup_components``; this query
+    proves the specialised plan returns the identical labeling (same
+    recursive-SQL oracle, bit-exact)."""
+    from ..stages.components import blocked_components
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    return blocked_components(
+        docs, ["n_chars", "lang"], "doc_id", "text", threshold=0.2
+    )
+
+
 # --- window frame: 7-row rolling mean of daily event counts ------------------
 
 

@@ -97,9 +97,10 @@ def connected_components(
 
         msgs = msgs.union(nodes.map_batches(selfloop, batch_format="pandas"))
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(b: pd.DataFrame, salt: int = 0) -> pd.DataFrame:
         b = b.copy()
-        h = b["node"].to_numpy(np.int64).view(np.uint64) * _H1
+        h = (b["node"].to_numpy(np.int64).view(np.uint64) + np.uint64(salt)) * _H1
+        h ^= h >> np.uint64(29)
         b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
         return b
 
@@ -132,7 +133,7 @@ def connected_components(
         )
         return out.drop_duplicates(["node", "cand"])
 
-    rows = msgs.materialize()
+    rows = msgs  # round 1 shuffles it directly; no point materializing
     prev_sig = None
     for _ in range(max_rounds):
         rows = (
@@ -160,6 +161,85 @@ def connected_components(
         rows.map_batches(bucketize, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(labels, batch_format="pandas")
+    )
+
+
+def blocked_components(
+    ds: "rd.Dataset",
+    key_cols: list[str],
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.2,
+    n_buckets: int = 32,
+    label_col: str = "component",
+) -> rd.Dataset:
+    """Near-dup clusters when edges provably live WITHIN equality blocks
+    (the common dedup case: candidates are only generated inside a
+    blocking key such as (n_chars, lang)). Then components never span
+    blocks, and a block never spans buckets — so ONE bucketed shuffle
+    computes exact labels: per bucket, build the block-local Jaccard
+    edges (the same posting-list kernel as stages/dedup.blocked_pair_edges)
+    and run a local min-label closure. No rounds, no signature passes —
+    use the generic ``connected_components`` only when edges can cross
+    partitioning keys (e.g. MinHash band candidates). Requires
+    threshold > 0 (posting lists only see pairs sharing a shingle)."""
+    from .dedup import char_shingle_hashes, run_pairs
+
+    if threshold <= 0:
+        raise ValueError("blocked_components requires threshold > 0")
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in key_cols:
+            h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                b[k].to_numpy()
+            ).astype(np.uint64)
+        out = b[[id_col, text_col, *key_cols]].copy()
+        out["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    def label_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        gid = g.groupby(key_cols, sort=False).ngroup().to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, gid))
+        gid, ids = gid[order], ids[order]
+        texts = g[text_col].to_numpy()[order].tolist()
+        hs, offs = char_shingle_hashes(texts, shingle_k)
+        sizes = np.diff(offs)
+        doc_of = np.repeat(np.arange(len(ids)), sizes)
+        ge = gid[doc_of]
+        e_order = np.lexsort((doc_of, hs, ge))
+        he, ge2, de = hs[e_order], ge[e_order], doc_of[e_order]
+        lab = np.arange(ids.size, dtype=np.int64)
+        if he.size:
+            new_run = np.concatenate(
+                [[True], (he[1:] != he[:-1]) | (ge2[1:] != ge2[:-1])]
+            )
+            a, b = run_pairs(np.flatnonzero(new_run), he.size)
+            if a.size:
+                n = len(ids)
+                key = de[a].astype(np.int64) * n + de[b]
+                uk, cnt = np.unique(key, return_counts=True)
+                pa_, pb_ = uk // n, uk % n
+                jac = cnt / (sizes[pa_] + sizes[pb_] - cnt)
+                keep = jac >= threshold
+                src, dst = pa_[keep], pb_[keep]
+                while True:  # local min-label closure over the edges
+                    before = lab.copy()
+                    np.minimum.at(lab, dst, lab[src])
+                    np.minimum.at(lab, src, lab[dst])
+                    lab = lab[lab]
+                    if np.array_equal(lab, before):
+                        break
+        return pd.DataFrame({id_col: ids, label_col: ids[lab]})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(label_bucket, batch_format="pandas")
     )
 
 

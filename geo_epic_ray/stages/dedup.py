@@ -92,6 +92,24 @@ def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
+def sig_bits(sig: np.ndarray) -> np.ndarray:
+    """1-bit minwise sketch (Li & König, CACM'11): the low bit of each
+    permutation's minimum, packed into ``ceil(num_perm / 64)`` uint64
+    words per doc. For a pair with Jaccard s, each bit matches with
+    probability (1+s)/2, so popcount(~xor)/num_perm estimates (1+s)/2 —
+    a bytes-per-doc similarity sketch cheap enough to ride the
+    band-explode shuffle. Returns (n_docs, n_words) uint64."""
+    n, num_perm = sig.shape
+    n_words = (num_perm + 63) // 64
+    out = np.zeros((n, n_words), dtype=np.uint64)
+    for w in range(n_words):
+        chunk = sig[:, 64 * w : 64 * (w + 1)]
+        bits = (chunk & np.uint64(1)).astype(np.uint64)
+        pow2 = (np.uint64(1) << np.arange(chunk.shape[1], dtype=np.uint64))[None, :]
+        out[:, w] = (bits * pow2).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def minhash_lsh_buckets(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -99,21 +117,31 @@ def minhash_lsh_buckets(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    sketch_bits: int = 0,
 ) -> rd.Dataset:
     """Explode each doc into (band_id, band_hash, id) rows — groupby
-    (band_id, band_hash) downstream yields LSH candidate buckets."""
+    (band_id, band_hash) downstream yields LSH candidate buckets. With
+    ``sketch_bits`` > 0 each row also carries the doc's packed 1-bit
+    minwise sketch (``sb0..sbK`` int64 words over ``sketch_bits``
+    INDEPENDENT permutations — separate seed, so banding is untouched)
+    for in-bucket candidate prefiltering."""
+    n_words = (sketch_bits + 63) // 64
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sig = minhash_signatures(batch[text_col].tolist(), num_perm, shingle_k)
+        txts = batch[text_col].tolist()
+        sig = minhash_signatures(txts, num_perm, shingle_k)
         bh = band_hashes(sig, bands)
         n = len(batch)
-        return pd.DataFrame(
-            {
-                "band_id": np.tile(np.arange(bands), n),
-                "band_hash": bh.reshape(-1).astype("int64"),
-                id_col: np.repeat(batch[id_col].to_numpy(), bands),
-            }
-        )
+        out = {
+            "band_id": np.tile(np.arange(bands), n),
+            "band_hash": bh.reshape(-1).astype("int64"),
+            id_col: np.repeat(batch[id_col].to_numpy(), bands),
+        }
+        if sketch_bits:
+            sk = sig_bits(minhash_signatures(txts, sketch_bits, shingle_k, seed=8))
+            for w in range(n_words):
+                out[f"sb{w}"] = np.repeat(sk[:, w].view(np.int64), bands)
+        return pd.DataFrame(out)
 
     return ds.map_batches(explode, batch_format="pandas")
 
@@ -173,6 +201,74 @@ def char_shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarra
     )
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR): five constant passes over the
+    array — no data-dependent boolean-indexing loop (whose per-iteration
+    allocations dominate on hot buckets)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (
+        (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    ).astype(np.int64)
+
+
+def run_pairs(starts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered within-run index pairs (a < b by position) of a sorted
+    array partitioned into runs. ``starts`` are the run start positions
+    (first element 0), ``n`` the total length. Fully vectorized: per
+    element, the count of later same-run elements, then offset arithmetic
+    — no Python loop over runs (a bucket can hold ~n_docs tiny runs, and a
+    per-run loop is the hot-path row loop this engine bans).
+
+    Pair volume is sum(size^2) over runs — the caller owns the degenerate
+    hot-key caveat (salt upstream if the key histogram is pathological)."""
+    if n == 0 or starts.size == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    ends = np.concatenate([starts[1:], [n]])
+    sizes = ends - starts
+    run_of = np.repeat(np.arange(starts.size), sizes)
+    pos = np.arange(n, dtype=np.int64)
+    counts = ends[run_of] - pos - 1  # later elements in my run
+    total = int(counts.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    a = np.repeat(pos, counts)
+    c0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    b = np.arange(total, dtype=np.int64) - np.repeat(c0, counts) + a + 1
+    return a, b
+
+
+def keyed_id_pairs(
+    keys: np.ndarray, ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate id pairs (id_a < id_b) from (bucket_key, id) rows: sort by
+    (key, id), drop duplicate (key, id), pair up within equal-key runs.
+    Returns (a_pos, b_pos, order-applied ids) — positions index into the
+    returned deduped id array, so callers can also carry per-row payloads
+    (apply the same order/dedup to the payload column)."""
+    order = np.lexsort((ids, keys))
+    k = keys[order]
+    i = ids[order]
+    dup = np.zeros(k.size, dtype=bool)
+    if k.size > 1:
+        dup[1:] = (k[1:] == k[:-1]) & (i[1:] == i[:-1])
+    keep = ~dup
+    k, i, order = k[keep], i[keep], order[keep]
+    starts = (
+        np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        if k.size
+        else np.empty(0, np.int64)
+    )
+    a, b = run_pairs(starts, k.size)
+    return a, b, order
+
+
 def pair_bucket_keys(id_a: np.ndarray, id_b: np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic bucket of a candidate pair by hashing BOTH member ids
     — one shared formula for every grouped pair-dedup/verify pass (all
@@ -192,38 +288,56 @@ def jaccard_sorted(ua: np.ndarray, ub: np.ndarray) -> float:
 
 
 def bucketed_pairs(
-    kb: rd.Dataset, key_col: str, id_col: str, n_buckets: int = 32
+    kb: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    payload_cols: list[str] | None = None,
+    pair_filter=None,
 ) -> rd.Dataset:
     """Candidate pairs (id_a < id_b) from (bucket_key, id) rows, fully
     distributed: shuffle by hash(key) % n_buckets (ONE small-column
-    exchange), then a C-speed pandas groupby inside each bucket emits the
-    per-key pairs — the >= 2-member prefilter falls out of the groupby for
-    free, with no driver-side merge. Degenerate hot keys (everything
-    identical) still cost O(m^2) pairs — salt upstream if the key
-    histogram is pathological."""
+    exchange), then a vectorized within-run pairing inside each bucket —
+    the >= 2-member prefilter falls out of the run boundaries for free,
+    with no driver-side merge. Degenerate hot keys (everything identical)
+    still cost O(m^2) pairs — salt upstream if the key histogram is
+    pathological.
+
+    ``payload_cols`` (int64 columns riding the key rows, e.g. the words of
+    a packed similarity sketch) + ``pair_filter(cols_a, cols_b) -> bool
+    mask`` (each argument a list of per-word 1-D gathers — 2-D row gathers
+    fault pathologically on this kernel) prune pairs INSIDE the bucket,
+    before any downstream explode/join touches them — at recall-heavy LSH
+    settings the junk-candidate volume is ~1000x the true-pair volume and
+    pruning after the fact pays for it in allocation traffic."""
+
+    cols = [key_col, id_col] + list(payload_cols or [])
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[[key_col, id_col]].copy()
+        b = b[cols].copy()
         h = b[key_col].to_numpy(dtype=np.int64).view(np.uint64)
         b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
         return b
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby(key_col):
-            ids = np.sort(grp[id_col].unique())
-            if ids.size < 2:
-                continue
-            ia, ib = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        if not out_a:
+        a, b, order = keyed_id_pairs(
+            g[key_col].to_numpy(), g[id_col].to_numpy()
+        )
+        if not a.size:
             return pd.DataFrame(
                 {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
             )
-        cand = pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
+        ids = g[id_col].to_numpy()[order]
+        if payload_cols and pair_filter is not None:
+            pv = [g[c].to_numpy()[order] for c in payload_cols]
+            keep = pair_filter([v[a] for v in pv], [v[b] for v in pv])
+            a, b = a[keep], b[keep]
+            if not a.size:
+                return pd.DataFrame(
+                    {"id_a": np.empty(0, np.int64),
+                     "id_b": np.empty(0, np.int64)}
+                )
+        cand = pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
         return cand.drop_duplicates(["id_a", "id_b"])
 
     return (
@@ -239,13 +353,18 @@ def pair_payload_verify(
     id_col: str,
     verify_bucket_fn,
     n_buckets: int = 32,
+    payload_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Verify candidate pairs against a per-id payload WITHOUT broadcasting
     the payload: explode each pair into two member rows, hash-partitioned
     rejoin of the payload by id (bucket_join — both sides stream), then
     regroup by pair and run ``verify_bucket_fn`` per pair-bucket. Duplicate
     pairs (e.g. from different LSH bands/tables) land in the same
-    pair-bucket, so the verify fn dedups them there — no driver pass."""
+    pair-bucket, so the verify fn dedups them there — no driver pass.
+
+    ``payload_cols`` (the payload's non-id columns) lets the join skip its
+    schema() derivation — cand's plan ends in a shuffle, and schema() on it
+    would execute that shuffle a second time."""
     from .joins import bucket_join
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -260,7 +379,16 @@ def pair_payload_verify(
         )
 
     members = cand.map_batches(explode, batch_format="pandas")
-    joined = bucket_join(members, payload, on=id_col, n_buckets=n_buckets)
+    hints = {}
+    if payload_cols is not None:
+        hints = {
+            "left_cols": ["id_a", "id_b"],
+            "right_cols": list(payload_cols),
+            "int_dtypes": {
+                id_col: np.int64, "id_a": np.int64, "id_b": np.int64
+            },
+        }
+    joined = bucket_join(members, payload, on=id_col, n_buckets=n_buckets, **hints)
 
     def pbucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -296,6 +424,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     n_buckets: int = 32,
+    sketch_bits: int = 192,
 ) -> rd.Dataset:
     """Near-dup pairs via MinHash+LSH, verified with exact char-k-gram
     Jaccard — fully distributed, no driver-side merge and no full-corpus
@@ -305,11 +434,18 @@ def minhash_dedup_pairs(
     2. candidate pairs per band bucket (``bucketed_pairs``: one hashed
        shuffle of two int64 columns, C-speed groupby per bucket — the
        >= 2-member prefilter is implicit);
-    3. verify: pairs explode into member rows, text payload rejoined by
-       hash-partitioned id (``bucket_join`` — both sides stream), regroup
-       by pair; cross-band duplicates of a pair land in the same
-       pair-bucket and are verified once. Shingle-hash arrays are built
-       once per doc per bucket, intersections are sorted-array merges.
+    3. verify: pairs explode into member rows, payload (signature +
+       shingle hashes) rejoined by hash-partitioned id (``bucket_join`` —
+       both sides stream), regroup by pair; cross-band duplicates of a
+       pair land in the same pair-bucket and are verified once. The verify
+       is two-stage: a vectorized signature-agreement estimate first
+       (cut at threshold - 4.5 * sqrt(t(1-t)/num_perm); a true pair at the
+       threshold fails this with probability ~Phi(-4.5) ≈ 3e-6, and the
+       observed margin on mixed-language corpora is far wider), then the
+       exact char-k-gram Jaccard on the survivors only — LSH banding at
+       (b=16, r=4) is deliberately recall-heavy and admits ~1000x more
+       candidates than true pairs; without the estimate stage the exact
+       intersections dominate the whole pipeline.
 
     ``texts`` supplies the (id, text) payload for the verify step and
     defaults to ``ds`` itself. Returns a Dataset (id_a, id_b, jaccard)
@@ -317,42 +453,96 @@ def minhash_dedup_pairs(
     """
     if texts is None:
         texts = ds
-    buckets = minhash_lsh_buckets(ds, text_col, id_col, num_perm, bands, shingle_k)
+    buckets = minhash_lsh_buckets(
+        ds, text_col, id_col, num_perm, bands, shingle_k,
+        sketch_bits=sketch_bits,
+    )
+    sb_cols = [f"sb{w}" for w in range((sketch_bits + 63) // 64)]
 
-    # Composite bucket key so the whole pipeline shuffles ONE int64 column.
+    # Composite bucket key so the whole pipeline shuffles ONE int64 column
+    # (plus the packed 1-bit sketch words for in-bucket pair pruning).
     def keyed(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         bh = b["band_hash"].to_numpy(dtype=np.int64).view(np.uint64)
         bid = b["band_id"].to_numpy(dtype=np.int64).astype(np.uint64)
         b["bkey"] = (bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
-        return b[["bkey", id_col]]
+        return b[["bkey", id_col, *sb_cols]]
 
     kb = buckets.map_batches(keyed, batch_format="pandas")
-    cand = bucketed_pairs(kb, "bkey", id_col, n_buckets=n_buckets)
 
-    # Precompute each doc's sorted-unique shingle-hash array ONCE (a doc
-    # participates in many pairs across many verify buckets — shipping the
-    # hashes instead of the text avoids rebuilding shingles per bucket).
-    def to_shingles(b: pd.DataFrame) -> pd.DataFrame:
-        hs, offs = char_shingle_hashes(b[text_col].tolist(), shingle_k)
+    # 1-bit-sketch pair prune: matched bits / sketch_bits estimates
+    # (1+s)/2, so cut at s >= threshold - 4.5 sigma with
+    # sigma = 2 sqrt(p(1-p)/sketch_bits), p = (1+threshold)/2. A true
+    # pair at the threshold fails with probability ~Phi(-4.5) ≈ 3e-6; at
+    # the default 192 bits and threshold 0.5 a junk pair (s ≈ 0) survives
+    # with probability ~7e-4 — the candidate stream shrinks ~1000x before
+    # the member explode / payload join ever allocates for it.
+    p_t = (1.0 + threshold) / 2.0
+    s_cut = threshold - 9.0 * np.sqrt(p_t * (1.0 - p_t) / sketch_bits)
+    match_cut = int(np.ceil((1.0 + s_cut) / 2.0 * sketch_bits))
+
+    def bits_filter(cols_a: list, cols_b: list) -> np.ndarray:
+        ham = popcount64(cols_a[0].view(np.uint64) ^ cols_b[0].view(np.uint64))
+        for va, vb in zip(cols_a[1:], cols_b[1:]):
+            ham += popcount64(va.view(np.uint64) ^ vb.view(np.uint64))
+        return (sketch_bits - ham) >= match_cut
+
+    cand = bucketed_pairs(
+        kb, "bkey", id_col, n_buckets=n_buckets,
+        payload_cols=sb_cols, pair_filter=bits_filter,
+    )
+
+    # Precompute each doc's sorted-unique shingle-hash array AND its
+    # minhash signature ONCE (a doc participates in many pairs across many
+    # verify buckets — shipping hashes instead of text avoids rebuilding
+    # shingles per bucket; the signature feeds the cheap estimate stage).
+    def to_payload(b: pd.DataFrame) -> pd.DataFrame:
+        txts = b[text_col].tolist()
+        hs, offs = char_shingle_hashes(txts, shingle_k)
+        sig = minhash_signatures(txts, num_perm, shingle_k)
         return pd.DataFrame(
             {
                 id_col: b[id_col].to_numpy(),
                 "sh_bytes": [
                     hs[offs[i] : offs[i + 1]].tobytes() for i in range(len(b))
                 ],
+                "sig_bytes": [sig[i].tobytes() for i in range(len(b))],
             }
         )
 
-    payload = texts.map_batches(to_shingles, batch_format="pandas")
+    payload = texts.map_batches(to_payload, batch_format="pandas")
+    est_cut = max(
+        0.0, threshold - 4.5 * np.sqrt(threshold * (1.0 - threshold) / num_perm)
+    )
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+             "jaccard": np.empty(0, float)}
+        )
         if not len(g):
-            return pd.DataFrame(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
-                 "jaccard": np.empty(0, float)}
-            )
+            return empty
         pairs = g[["id_a", "id_b"]].drop_duplicates()
+        # stage 1: signature-agreement estimate, vectorized. One signature
+        # matrix for the bucket's docs; per-permutation column compare
+        # (2-D row gathers of the matrix are pathologically slow under
+        # this kernel's THP behavior — the column loop is ~100x faster).
+        uids, first = np.unique(g[id_col].to_numpy(), return_index=True)
+        sig = np.vstack(
+            [
+                np.frombuffer(bb, dtype=np.uint64)
+                for bb in g["sig_bytes"].to_numpy()[first]
+            ]
+        )
+        pa_ = np.searchsorted(uids, pairs["id_a"].to_numpy())
+        pb_ = np.searchsorted(uids, pairs["id_b"].to_numpy())
+        match = np.zeros(len(pairs), dtype=np.int32)
+        for j in range(num_perm):
+            match += sig[pa_, j] == sig[pb_, j]
+        pairs = pairs[match / num_perm >= est_cut]
+        if not len(pairs):
+            return empty
+        # stage 2: exact char-k-gram Jaccard on the survivors
         slice_of = {
             i: np.frombuffer(bb, dtype=np.uint64)
             for i, bb in zip(g[id_col], g["sh_bytes"])
@@ -368,7 +558,10 @@ def minhash_dedup_pairs(
         out = pairs.assign(jaccard=jac)
         return out[out.jaccard >= threshold]
 
-    return pair_payload_verify(cand, payload, id_col, verify_bucket, n_buckets)
+    return pair_payload_verify(
+        cand, payload, id_col, verify_bucket, n_buckets,
+        payload_cols=["sh_bytes", "sig_bytes"],
+    )
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -477,35 +670,21 @@ def simhash_dup_pairs(
         return b
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in g.groupby("ckey"):
-            u = grp.drop_duplicates(id_col).sort_values(id_col)
-            if len(u) < 2:
-                continue
-            ids = u[id_col].to_numpy()
-            sh = u["simhash"].to_numpy().view(np.uint64)
-            ia, ib = np.triu_indices(ids.size, k=1)
-            x = sh[ia] ^ sh[ib]
-            ham = np.zeros(x.size, dtype=np.int64)
-            while True:  # popcount via bit-clearing on the nonzero lanes
-                nz = x != 0
-                if not nz.any():
-                    break
-                ham[nz] += 1
-                x[nz] &= x[nz] - np.uint64(1)
-            keep = ham <= max_hamming
-            out.append(
-                pd.DataFrame(
-                    {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                     "hamming": ham[keep]}
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
-                 "hamming": np.empty(0, np.int64)}
-            )
-        return pd.concat(out, ignore_index=True).drop_duplicates(["id_a", "id_b"])
+        empty = pd.DataFrame(
+            {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+             "hamming": np.empty(0, np.int64)}
+        )
+        a, b, order = keyed_id_pairs(g["ckey"].to_numpy(), g[id_col].to_numpy())
+        if not a.size:
+            return empty
+        ids = g[id_col].to_numpy()[order]
+        sh = g["simhash"].to_numpy()[order].view(np.uint64)
+        ham = popcount64(sh[a] ^ sh[b])
+        keep = ham <= max_hamming
+        out = pd.DataFrame(
+            {"id_a": ids[a[keep]], "id_b": ids[b[keep]], "hamming": ham[keep]}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
 
     cand = (
         kb.map_batches(bucketize, batch_format="pandas")
@@ -649,7 +828,9 @@ def embedding_dup_pairs(
         out = pairs.assign(cosine=cos)
         return out[out.cosine >= threshold]
 
-    return pair_payload_verify(cand, payload, id_col, verify_bucket, n_buckets)
+    return pair_payload_verify(
+        cand, payload, id_col, verify_bucket, n_buckets, payload_cols=["emb_bytes"]
+    )
 
 
 def blocked_pair_edges(
@@ -669,7 +850,11 @@ def blocked_pair_edges(
     shingle sets built once per doc per bucket, no payload rejoin needed
     (contrast minhash_dedup_pairs, where a doc appears in many bands and
     the rejoin earns its shuffle). Salt skew-prone block keys upstream
-    (stages/partition.py). Returns (id_a, id_b, jaccard), id_a < id_b."""
+    (stages/partition.py). Returns (id_a, id_b, jaccard), id_a < id_b.
+    Requires threshold > 0 (the posting-list kernel only sees pairs with
+    at least one shared shingle)."""
+    if threshold <= 0:
+        raise ValueError("blocked_pair_edges requires threshold > 0")
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         h = np.zeros(len(b), dtype=np.uint64)
@@ -690,33 +875,48 @@ def blocked_pair_edges(
     )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Inverted-index Jaccard inside the bucket, no per-pair Python:
+        each (block, shingle-hash) posting list emits its within-block doc
+        pairs (``run_pairs``); intersection sizes fall out of one
+        ``np.unique`` over packed pair keys; a pair with NO shared shingle
+        never reaches a positive threshold, so posting lists cover exactly
+        the candidate set (requires threshold > 0)."""
         if len(g) < 2:
             return empty
-        g = g.drop(columns="__bucket").reset_index(drop=True)
-        hs, offs = char_shingle_hashes(g[text_col].tolist(), shingle_k)
-        sets = [np.unique(hs[offs[i] : offs[i + 1]]) for i in range(len(g))]
-        out_a, out_b, out_j = [], [], []
-        for _, grp in g.groupby(key_cols):
-            if len(grp) < 2:
-                continue
-            order = np.argsort(grp[id_col].to_numpy())
-            pos = grp.index.to_numpy()[order]
-            ids = grp[id_col].to_numpy()[order]
-            for i in range(len(ids)):
-                si = sets[pos[i]]
-                for j in range(i + 1, len(ids)):
-                    jac = jaccard_sorted(si, sets[pos[j]])
-                    if jac >= threshold:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_j.append(jac)
-        if not out_a:
+        g = g.drop(columns="__bucket")
+        gid = g.groupby(key_cols, sort=False).ngroup().to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, gid))
+        gid, ids = gid[order], ids[order]
+        texts = g[text_col].to_numpy()[order].tolist()
+        hs, offs = char_shingle_hashes(texts, shingle_k)
+        sizes = np.diff(offs)
+        doc_of = np.repeat(np.arange(len(ids)), sizes)
+        ge = gid[doc_of]
+        e_order = np.lexsort((doc_of, hs, ge))
+        he, ge, de = hs[e_order], ge[e_order], doc_of[e_order]
+        new_run = np.concatenate(
+            [[True], (he[1:] != he[:-1]) | (ge[1:] != ge[:-1])]
+        ) if he.size else np.empty(0, bool)
+        a, b = run_pairs(np.flatnonzero(new_run), he.size)
+        if not a.size:
+            return empty
+        # doc positions ascend within a run (lexsort minor key), and ids
+        # ascend with position within a block -> id_a < id_b
+        n = len(ids)
+        key = de[a].astype(np.int64) * n + de[b]
+        uk, cnt = np.unique(key, return_counts=True)
+        pa_, pb_ = uk // n, uk % n
+        union = sizes[pa_] + sizes[pb_] - cnt
+        jac = cnt / union
+        keep = jac >= threshold
+        if not keep.any():
             return empty
         return pd.DataFrame(
             {
-                "id_a": np.array(out_a, np.int64),
-                "id_b": np.array(out_b, np.int64),
-                "jaccard": np.array(out_j, float),
+                "id_a": ids[pa_[keep]].astype(np.int64),
+                "id_b": ids[pb_[keep]].astype(np.int64),
+                "jaccard": jac[keep].astype(float),
             }
         )
 

@@ -120,6 +120,9 @@ def bucket_join(
     *,
     n_buckets: int = 16,
     how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    int_dtypes: dict | None = None,
 ) -> rd.Dataset:
     """Partitioned hash join for two LARGE sides (the guide's portable
     pattern): tag each side, bucket by hash(key) % n_buckets, union, then
@@ -127,19 +130,29 @@ def bucket_join(
     when one side fits in memory — this path exists for the big-big case
     and costs a full shuffle of both sides.
 
+    ``left_cols``/``right_cols`` (each side's non-key columns) and
+    ``int_dtypes`` ({col: numpy int dtype} to restore after the padded
+    union) can be passed when known: ``Dataset.schema()`` on a side whose
+    plan ends in a shuffle EXECUTES that shuffle, so deriving them here
+    would run the upstream pipeline twice. Pass all three or none.
+
     Skew note: salt hot keys into sub-buckets upstream (see
     stages/partition.py) before calling when the key histogram is heavy.
     """
 
-    lschema, rschema = left.schema(), right.schema()
-    lcols = [c for c in lschema.names if c != on]
-    rcols = [c for c in rschema.names if c != on]
+    if left_cols is None or right_cols is None:
+        lschema, rschema = left.schema(), right.schema()
+        lcols = [c for c in lschema.names if c != on]
+        rcols = [c for c in rschema.names if c != on]
+        # The union pads each side's missing columns with nulls -> integer
+        # columns arrive in pandas as float64; restore the declared dtypes
+        # after the side split (each side's own rows carry no NaN).
+        int_dtypes = _int_dtypes_of(lschema, rschema)
+    else:
+        lcols, rcols = list(left_cols), list(right_cols)
+        int_dtypes = dict(int_dtypes or {})
     if set(lcols) & set(rcols):
         raise ValueError("bucket_join sides must have disjoint non-key columns")
-    # The union pads each side's missing columns with nulls -> integer
-    # columns arrive in pandas as float64; restore the declared dtypes
-    # after the side split (each side's own rows carry no NaN).
-    int_dtypes = _int_dtypes_of(lschema, rschema)
 
     def tag(side: int, pad_cols: list[str]):
         def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -179,20 +192,31 @@ def asof_join(
     on: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    left_cols: list[str] | None = None,
+    int_dtypes: dict | None = None,
 ) -> rd.Dataset:
     """As-of join: for each left row, the latest right row of the same
     ``by`` key with ``on`` <= left's ``on`` (the guide's pattern: bucket
     by key, pandas merge_asof per bucket). Both sides shuffle once on the
-    key hash; within a bucket merge_asof is a sorted vectorized pass."""
+    key hash; within a bucket merge_asof is a sorted vectorized pass.
 
-    lschema = left.schema()
-    lcols = lschema.names
+    ``left_cols`` (the left side's full column list) + ``int_dtypes``
+    ({col: numpy int dtype}) skip the ``left.schema()`` derivation, which
+    executes part of the left plan. Pass both or neither."""
+
+    if left_cols is None:
+        lschema = left.schema()
+        lcols = lschema.names
+        # The union pads each side's missing columns with nulls, which
+        # turns integer columns into float64 once they reach pandas.
+        # Record the original integer dtypes so merge can restore them
+        # (the padded rows are filtered out by __side first, so no NaN
+        # survives the cast).
+        int_dtypes = _int_dtypes_of(lschema)
+    else:
+        lcols = list(left_cols)
+        int_dtypes = dict(int_dtypes or {})
     rkeep = [by, on] + right_cols
-    # The union pads each side's missing columns with nulls, which turns
-    # integer columns into float64 once they reach pandas. Record the
-    # original integer dtypes so merge can restore them (the padded rows
-    # are filtered out by __side first, so no NaN survives the cast).
-    int_dtypes = _int_dtypes_of(lschema)
 
     def tag(side: int, keep: list[str]):
         def f(b: pd.DataFrame) -> pd.DataFrame:

@@ -56,6 +56,42 @@ def test_cc_empty_edges(ray_session):
     assert got == {1: 1, 2: 2, 3: 3}
 
 
+def test_blocked_components_matches_generic(ray_session):
+    """The block-local fast path must produce the identical labeling the
+    generic operator derives from the same blocking: blocked_pair_edges
+    -> connected_components vs blocked_components, one shuffle."""
+    from geo_epic_ray.stages.components import blocked_components
+    from geo_epic_ray.stages.dedup import blocked_pair_edges
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    texts, langs = [], []
+    for i in range(120):
+        base = [words[w] for w in rng.integers(0, len(words), 6)]
+        texts.append(" ".join(base))
+        langs.append(["en", "de"][int(rng.integers(0, 2))])
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    fast = blocked_components(
+        ds, ["n_chars", "lang"], "doc_id", "text", threshold=0.3, n_buckets=8
+    ).to_pandas()
+    edges = blocked_pair_edges(
+        ds, ["n_chars", "lang"], "doc_id", "text", threshold=0.3
+    ).to_pandas()
+    want = union_find_components(
+        list(zip(edges.id_a.tolist(), edges.id_b.tolist())),
+        df.doc_id.tolist(),
+    )
+    assert dict(zip(fast.doc_id, fast.component)) == want
+
+
 def test_blocked_pair_edges_matches_bruteforce(ray_session):
     import itertools
 
