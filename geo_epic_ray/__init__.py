@@ -48,6 +48,8 @@ def __getattr__(name):
         "HLL": "geo_epic_ray.stages.sketches",
         "CountMinSketch": "geo_epic_ray.stages.sketches",
         "connected_components": "geo_epic_ray.stages.components",
+        "range_join": "geo_epic_ray.stages.joins",
+        "tfidf_top_terms": "geo_epic_ray.stages.text",
         "blocked_components": "geo_epic_ray.stages.components",
         "kmeans_fit": "geo_epic_ray.stages.cluster",
         "explode_spans": "geo_epic_ray.stages.spans",

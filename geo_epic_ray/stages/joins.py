@@ -184,6 +184,102 @@ def bucket_join(
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def range_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    *,
+    on: str,
+    start: str,
+    end: str,
+    bucket_width_us: int,
+    point_cols: list[str],
+    interval_cols: list[str],
+    n_buckets: int = 32,
+    int_dtypes: dict | None = None,
+) -> rd.Dataset:
+    """Big-big interval join: point rows against interval rows with
+    ``start <= on < end`` (timestamps compared at microsecond precision),
+    neither side broadcast. The classic Ray-Data-missing operator, built
+    from one bucketed shuffle:
+
+    - time is quantized into cells of ``bucket_width_us``; each interval
+      EXPLODES to every cell it covers, each point maps to its one cell,
+      both land in hash(cell) % n_buckets buckets;
+    - inside a bucket a pandas merge on the cell plus the exact range
+      predicate finishes the join.
+
+    Pick ``bucket_width_us`` near the MAX interval length: the explode
+    factor is ceil(len/width)+1, so width >> typical length wastes
+    nothing, width << max length multiplies the interval side. Overlapping
+    intervals are fine (a point matches each). Both ``on`` and the
+    interval bounds must be int64-microsecond convertibles (pandas
+    datetime64[us/ns] or int64). ``int_dtypes`` restores integer data
+    columns degraded to float64 by the padded union (timestamp epochs
+    stay exact through float64 — microseconds < 2^53)."""
+
+    w = np.int64(bucket_width_us)
+
+    def _us(col: pd.Series) -> np.ndarray:
+        v = col.to_numpy()
+        if np.issubdtype(v.dtype, np.datetime64):
+            return v.astype("datetime64[us]").astype(np.int64)
+        return v.astype(np.int64)
+
+    def explode_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        s = _us(b[start])
+        e = np.maximum(_us(b[end]), s)  # empty/negative intervals -> point
+        c0 = s // w
+        c1 = (e - 1) // w  # end-exclusive
+        counts = (c1 - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        cell = np.arange(counts.sum(), dtype=np.int64) - np.repeat(offs, counts) + c0[idx]
+        out = {"__cell": cell, "__s": s[idx], "__e": e[idx], "__side": np.int64(1)}
+        for c in interval_cols:
+            out[c] = b[c].to_numpy()[idx]
+        return pd.DataFrame(out)
+
+    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
+        t = _us(b[on])
+        out = {"__cell": t // w, "__t": t, "__side": np.int64(0)}
+        for c in point_cols:
+            out[c] = b[c].to_numpy()
+        return pd.DataFrame(out)
+
+    u = points.map_batches(tag_points, batch_format="pandas").union(
+        intervals.map_batches(explode_intervals, batch_format="pandas")
+    )
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = b["__cell"].to_numpy(np.int64).view(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    idt = dict(int_dtypes or {})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == 0][["__cell", "__t"] + point_cols].copy()
+        iv = g[g["__side"] == 1][["__cell", "__s", "__e"] + interval_cols].copy()
+        for c, dt in idt.items():
+            if c in p.columns:
+                p[c] = p[c].astype(dt)
+            if c in iv.columns:
+                iv[c] = iv[c].astype(dt)
+        m = p.merge(iv, on="__cell")
+        t = m["__t"].to_numpy(np.int64)
+        keep = (m["__s"].to_numpy(np.int64) <= t) & (t < m["__e"].to_numpy(np.int64))
+        return m[keep][point_cols + interval_cols]
+
+    return (
+        u.map_batches(bucketize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

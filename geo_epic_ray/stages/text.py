@@ -293,3 +293,76 @@ def winnow_overlap_pairs(
             lambda g: count_bucket(g.drop(columns="__pb")), batch_format="pandas"
         )
     )
+
+
+def tfidf_top_terms(
+    ds: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_docs: int,
+    k: int = 3,
+    n_buckets: int = 32,
+) -> "rd.Dataset":
+    """Top-k characteristic terms per doc by a log-free BM25-style weight
+    tf * (N - df + 0.5) / (df + 0.5) — rational arithmetic only, so the
+    score is bit-identical across engines (numpy and DuckDB ln() differ
+    by ~2 ulp, which a bit-exact gate cannot tolerate; the weight is
+    monotone in the classic idf, so top-k sets match tf-idf's).
+
+    Two bucketed shuffles, both keyed by hash:
+      1. (doc, term, tf) rows — tf is complete per batch since a doc
+         never spans batches — bucket BY TERM: every term's postings land
+         in one bucket, so df is exact in-bucket and scores attach in the
+         same pass (no separate df join);
+      2. scored rows re-bucket BY DOC: per-doc sort + head(k) + rank.
+    Ties rank by term ascending on the ROUNDED score (both sides round
+    round-half-even to 6 before ranking, keeping tie order engine-stable).
+    """
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.split(" ")
+        counts = toks.str.len().to_numpy()
+        ids = np.repeat(b[id_col].to_numpy(), counts)
+        terms = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        g = (
+            pd.DataFrame({id_col: ids, "term": terms})
+            .groupby([id_col, "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        g["__bucket"] = (
+            pd.util.hash_array(g.term.to_numpy()) % np.uint64(n_buckets)
+        ).astype("int64")
+        return g
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        df = g.groupby("term")[id_col].nunique()
+        dfv = df.reindex(g.term).to_numpy(dtype=np.float64)
+        tf = g.tf.to_numpy(dtype=np.float64)
+        score = tf * (n_docs - dfv + 0.5) / (dfv + 0.5)
+        out = g[[id_col, "term"]].copy()
+        out["score"] = np.round(score, 6)  # round-half-even, pre-rank
+        out["__bucket"] = (
+            out[id_col].to_numpy().view(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15) % np.uint64(n_buckets)
+        ).astype("int64")
+        return out
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [id_col, "score", "term"], ascending=[True, False, True],
+            kind="stable",
+        )
+        out = g.groupby(id_col, sort=False).head(k).copy()
+        out["rank"] = out.groupby(id_col, sort=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(topk_bucket, batch_format="pandas")
+    )
