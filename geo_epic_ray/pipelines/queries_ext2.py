@@ -468,12 +468,15 @@ def incremental_dedup_new(sf_dir: str):
     from ..stages.sketches import BloomFilter
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    split = (docs.max("doc_id") + 1) // 2
 
     def prefixed(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": b.doc_id, "prefix": b.text.str.slice(0, 10)})
 
-    pref = docs.map_batches(prefixed, batch_format="pandas")
+    # ONE corpus scan: the (id, prefix) projection is ~18 bytes/doc and
+    # feeds four consumers (max, bloom partials, both anti-join sides) —
+    # without materializing, each consumer re-reads and re-projects.
+    pref = docs.map_batches(prefixed, batch_format="pandas").materialize()
+    split = (pref.max("doc_id") + 1) // 2
     old = pref.filter(expr=f"doc_id < {split}")
     new = pref.filter(expr=f"doc_id >= {split}")
 

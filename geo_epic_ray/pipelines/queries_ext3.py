@@ -239,44 +239,40 @@ def decontamination_overlap(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 
-    def chunks(b: pd.DataFrame, bench: bool) -> pd.DataFrame:
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        """ONE corpus scan emits both sides: chunk every doc (vectorized
+        per CHUNK INDEX — one pandas str.slice over all rows per stride
+        position, never per row), then side = benchmark membership."""
         empty = pd.DataFrame(
             {"chunk": pd.Series([], dtype=str),
-             "doc_id": pd.Series([], dtype=np.int64)}
+             "doc_id": pd.Series([], dtype=np.int64),
+             "__side": pd.Series([], dtype=np.int64),
+             "__bucket": pd.Series([], dtype=np.int64)}
         )
-        is_b = b.source.isin(["src0", "src1"])
-        b = b[is_b] if bench else b[~is_b]
         if not len(b):
             return empty
-        # vectorized per CHUNK INDEX: one pandas str.slice over all rows
-        # per stride position (max_len/13 slices), never per row
+        side = b.source.isin(["src0", "src1"]).to_numpy().astype(np.int64)
         max_k = int((b.text.str.len().max() - 1) // 13)
         frames = []
         for k in range(max_k + 1):
             c = b.text.str.slice(13 * k, 13 * k + 13)
-            m = c.str.len() == 13
+            m = (c.str.len() == 13).to_numpy()
             if m.any():
                 frames.append(
-                    pd.DataFrame({"chunk": c[m], "doc_id": b.doc_id[m]})
+                    pd.DataFrame(
+                        {"chunk": c[m], "doc_id": b.doc_id[m],
+                         "__side": side[m]}
+                    )
                 )
-        return pd.concat(frames, ignore_index=True) if frames else empty
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
+        out["__bucket"] = (
+            pd.util.hash_array(out.chunk.to_numpy()) % np.uint64(32)
+        ).astype("int64")
+        return out
 
-    def tag(bench: bool):
-        side = np.int64(1 if bench else 0)
-
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            c = chunks(b, bench)
-            c["__side"] = side
-            c["__bucket"] = (
-                pd.util.hash_array(c.chunk.to_numpy()) % np.uint64(32)
-            ).astype("int64")
-            return c
-
-        return f
-
-    u = docs.map_batches(tag(False), batch_format="pandas").union(
-        docs.map_batches(tag(True), batch_format="pandas")
-    )
+    u = docs.map_batches(tag, batch_format="pandas")
 
     def semi(g: pd.DataFrame) -> pd.DataFrame:
         bench_chunks = g.loc[g.__side == 1, "chunk"]
