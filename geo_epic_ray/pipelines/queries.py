@@ -583,3 +583,4 @@ from . import queries_ext as _queries_ext  # noqa: E402,F401
 # load part 3 of the registry (round-2 additions)
 from . import queries_ext2 as _queries_ext2  # noqa: E402,F401
 from . import queries_ext3 as _queries_ext3  # noqa: E402,F401
+from . import queries_ext4 as _queries_ext4  # noqa: E402,F401

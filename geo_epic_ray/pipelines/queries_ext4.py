@@ -1,0 +1,251 @@
+"""Query registry, part 5 (round 2, late): the remaining training-data
+curation operators — corpus-wide boilerplate-chunk removal (ccnet-style
+paragraph dedup), compiled-regex redaction, weighted source mixing, and
+sequence packing via a distributed prefix sum.
+
+Registered into the same QUERIES/ORACLES dicts as pipelines.queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .queries import register
+
+# --- corpus-wide boilerplate-chunk removal (ccnet-style) ---------------------
+
+# Every doc is segmented into consecutive 5-word chunks (tail chunk may be
+# shorter); a chunk appearing more than twice ACROSS THE CORPUS is dropped
+# everywhere, and each doc is reassembled from its surviving chunks in
+# order. Docs losing every chunk disappear (inner reassembly).
+_BOILER_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(words)/5.0) AS BIGINT))) AS k,
+             words
+      FROM t),
+c2 AS (SELECT doc_id, k,
+              array_to_string(words[5*k+1 : 5*k+5], ' ') AS chunk
+       FROM c),
+g AS (SELECT chunk, count(*) AS cnt FROM c2 GROUP BY chunk),
+kept AS (SELECT c2.doc_id, c2.k, c2.chunk
+         FROM c2 JOIN g USING(chunk) WHERE g.cnt <= 2)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY k) AS clean_text,
+       count(*) AS n_kept
+FROM kept GROUP BY doc_id
+"""
+
+
+@register("boilerplate_chunk_removal", _BOILER_SQL)
+def boilerplate_chunk_removal(sf_dir: str):
+    """Corpus-wide repeated-chunk removal (the ccnet / RefinedWeb
+    "remove boilerplate lines seen many times" pass) in exactly two
+    shuffles: (1) chunks bucketed by hash(chunk) — every copy of a chunk
+    lands together, so the global count AND the survivor filter happen in
+    one grouped pass, no separate count⋈postings join; (2) survivors
+    bucketed by doc_id for ordered reassembly. Chunking is vectorized per
+    CHUNK INDEX (polars list.slice/list.join over all rows per k, never
+    per row); reassembly is a polars group-join (Rust loop, not Python).
+    """
+    from ..stages.aggregates import bucketed_group_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunked(b: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(b).with_columns(
+            pl.col("text").str.split(" ").alias("w")
+        ).drop("text")
+        d = d.with_columns(pl.col("w").list.len().cast(pl.Int64).alias("nw"))
+        max_k = int((d["nw"].max() + 4) // 5) if len(d) else 0
+        frames = []
+        for k in range(max_k):
+            part = d.filter(pl.col("nw") > 5 * k).select(
+                "doc_id",
+                pl.lit(k, dtype=pl.Int64).alias("k"),
+                pl.col("w").list.slice(5 * k, 5).list.join(" ").alias("chunk"),
+            )
+            if len(part):
+                frames.append(part)
+        if not frames:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "k": pd.Series([], dtype=np.int64),
+                 "chunk": pd.Series([], dtype=str)}
+            )
+        return pl.concat(frames).to_pandas()
+
+    chunks = docs.map_batches(chunked, batch_format="pandas")
+
+    def drop_boiler(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("chunk")["chunk"].transform("size")
+        return g[cnt <= 2]
+
+    kept = bucketed_group_agg(chunks, ["chunk"], drop_boiler, n_buckets=64)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(g).sort(["doc_id", "k"])
+        out = d.group_by("doc_id", maintain_order=True).agg(
+            pl.col("chunk").str.join(" ").alias("clean_text"),
+            pl.len().cast(pl.Int64).alias("n_kept"),
+        )
+        return out.to_pandas()
+
+    return bucketed_group_agg(kept, ["doc_id"], reassemble, n_buckets=64)
+
+
+# --- compiled-regex redaction (PII-scrub shape) ------------------------------
+
+# The PII-redaction operator shape: a compiled pattern applied globally
+# with a per-doc match count. The synthetic corpus has no emails/phones,
+# so the pattern targets vocabulary terms; with real data the pattern
+# list changes, the pipeline does not. Python re and DuckDB RE2 agree on
+# this ASCII-only alternation + \b.
+_REDACT_PAT = r"\b(customer|key|value)\b"
+_REDACT_RE = re.compile(_REDACT_PAT)
+
+_REDACT_SQL = rf"""
+SELECT doc_id,
+       regexp_replace(text, '{_REDACT_PAT}', '<X>', 'g') AS red_text,
+       len(regexp_extract_all(text, '{_REDACT_PAT}')) AS n_redacted
+FROM documents
+"""
+
+
+@register("regex_redact", _REDACT_SQL)
+def regex_redact(sf_dir: str):
+    """Global regex scrub + match count per doc — pattern compiled ONCE
+    at module import (shipped compiled to every worker), applied with
+    vectorized pandas str kernels; embarrassingly parallel, no shuffle."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b.doc_id,
+             "red_text": b.text.str.replace(_REDACT_RE, "<X>", regex=True),
+             "n_redacted": b.text.str.count(_REDACT_RE).astype(np.int64)}
+        )
+
+    return docs.map_batches(scrub, batch_format="pandas")
+
+
+# --- weighted source mixing --------------------------------------------------
+
+# Deterministic domain-mixture sampling: each source keeps a configured
+# fraction of its docs, decided by a multiplicative hash of doc_id (no
+# RNG — reproducible across runs, engines, and cluster sizes; the same
+# doc is kept or dropped regardless of partitioning).
+_MIX_RATES = {"src0": 10000, "src1": 5000, "src2": 2500, "src3": 1250}
+_MIX_DEFAULT = 625  # 6.25% for the long tail of sources
+
+_MIX_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761 + 11) % 10000 <
+  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+              WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1250 ELSE 625 END
+"""
+
+
+@register("source_mix_weighted", _MIX_SQL)
+def source_mix_weighted(sf_dir: str):
+    """Weighted per-source sampling (the pretraining domain-mixing op):
+    keep-threshold looked up per row (vectorized map), hash compared in
+    uint64. No wrap vs the SQL HUGEINT path while doc_id < 2^33 — the
+    multiplier is ~2^31.3, so the product stays under 2^64 (same bound
+    stratified_sample relies on)."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def mix(b: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            b.doc_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(11)
+        ) % np.uint64(10000)
+        thr = b.source.map(_MIX_RATES).fillna(_MIX_DEFAULT).to_numpy(np.uint64)
+        return b[h < thr]
+
+    return docs.map_batches(mix, batch_format="pandas")
+
+
+# --- sequence packing via distributed prefix sum -----------------------------
+
+_PACK_BUDGET = 4096
+_PACK_W = 4096  # doc_ids per range bucket; scale W with the corpus so
+#                 #buckets (= max_doc_id / W) stays driver-sized —
+#                 W ~ 1e6 keeps 10^12 docs at ~10^6 buckets.
+
+_PACK_SQL = f"""
+SELECT doc_id,
+  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       // {_PACK_BUDGET} AS BIGINT) AS bin
+FROM documents
+"""
+
+
+@register("sequence_pack_bins", _PACK_SQL)
+def sequence_pack_bins(sf_dir: str):
+    """Sequence packing: assign each doc (ordered by doc_id) to a
+    fixed-budget training bin by the EXCLUSIVE running sum of its size —
+    a global prefix sum, the classic two-phase scan: (1) one streamed
+    pass emits per-range-bucket partial sums (bucket = doc_id // W);
+    the driver folds them into exclusive bucket offsets (#buckets rows —
+    bounded by max_doc_id/W, see _PACK_W); (2) a bucketed grouped pass
+    re-sorts each range bucket by doc_id and adds its offset to the
+    in-bucket exclusive cumsum. No global sort, one small shuffle."""
+    from ..stages.aggregates import bucketed_group_agg, partials_to_driver
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bk = b.doc_id.to_numpy() // _PACK_W
+        return (
+            pd.DataFrame({"bk": bk, "s": b.n_chars.to_numpy()})
+            .groupby("bk", as_index=False)["s"].sum()
+        )
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        tot = p.groupby("bk", as_index=False)["s"].sum().sort_values("bk")
+        tot["off"] = tot.s.cumsum() - tot.s  # exclusive
+        return tot[["bk", "off"]].reset_index(drop=True)
+
+    offs = partials_to_driver(
+        docs.map_batches(partial, batch_format="pandas"), fold
+    )
+    # tiny (#buckets rows) — shipped to workers via closure capture,
+    # serialized once per task like any broadcast side table
+    bk_ids = offs.bk.to_numpy()
+    bk_off = offs.off.to_numpy()
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        bk = g.doc_id.to_numpy() // _PACK_W
+        excl = g.n_chars.groupby(bk).cumsum().to_numpy() - g.n_chars.to_numpy()
+        base = bk_off[np.searchsorted(bk_ids, bk)]
+        return pd.DataFrame(
+            {"doc_id": g.doc_id.to_numpy(),
+             "bin": ((base + excl) // _PACK_BUDGET).astype(np.int64)}
+        )
+
+    def bucket_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bk"] = (b.doc_id.to_numpy() // _PACK_W).astype(np.int64)
+        return b
+
+    keyed = docs.map_batches(bucket_key, batch_format="pandas")
+    return bucketed_group_agg(
+        keyed,
+        ["__bk"],
+        lambda g: assign(g.drop(columns="__bk")),
+        n_buckets=64,
+    )

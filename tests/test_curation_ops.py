@@ -1,0 +1,111 @@
+"""Round-2 curation operators (queries_ext4): boilerplate-chunk removal,
+regex redaction, weighted source mixing, prefix-sum sequence packing —
+each checked against its own DuckDB oracle on a CRAFTED corpus (planted
+boilerplate, rate boundaries, bin crossings), not just the gate fixture."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """Tiny documents table with planted structure: doc 0/1/2 share the
+    exact 5-word chunk 'a b c d e' (count 3 -> boilerplate), docs carry
+    short tails, one doc is a single word, sizes straddle pack-bin
+    boundaries."""
+    rows = []
+    boiler = "a b c d e"
+    for i in range(12):
+        words = [f"w{i}_{j}" for j in range(7)]  # unique chunk + 2-word tail
+        text = " ".join(words)
+        if i < 3:
+            text = boiler + " " + text
+        rows.append(
+            {"doc_id": i, "text": text, "lang": "en",
+             "source": f"src{i % 5}", "n_chars": len(text)}
+        )
+    # jumbo doc to force a bin crossing (n_chars >> budget/12)
+    rows.append({"doc_id": 12, "text": "z " * 3000 + "z", "lang": "en",
+                 "source": "src0", "n_chars": 6001})
+    rows.append({"doc_id": 13, "text": "solo", "lang": "en",
+                 "source": "src1", "n_chars": 4})
+    df = pd.DataFrame(rows)
+    d = tmp_path_factory.mktemp("curation")
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(name: str, sf_dir: str, ray_session):
+    from geo_epic_ray.pipelines.queries import ORACLES, QUERIES
+
+    got = _canon(QUERIES[name](sf_dir).to_pandas())
+    want = _canon(_oracle(sf_dir, ORACLES[name]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    return got
+
+
+def test_boilerplate_chunk_removal(ray_session, corpus_dir):
+    got = _check("boilerplate_chunk_removal", corpus_dir, ray_session)
+    by_id = got.set_index("doc_id")
+    # the planted chunk (count 3) is gone from docs 0-2; their own words stay
+    assert not by_id.loc[0, "clean_text"].startswith("a b c d e")
+    assert by_id.loc[0, "clean_text"].startswith("w0_0")
+    # an untouched doc keeps both its chunks (5-word + 2-word tail)
+    assert by_id.loc[5, "n_kept"] == 2
+    assert by_id.loc[5, "clean_text"] == " ".join(f"w5_{j}" for j in range(7))
+    # single-word doc survives as its own (short) chunk
+    assert by_id.loc[13, "clean_text"] == "solo"
+
+
+def test_regex_redact(ray_session, corpus_dir):
+    # plant pattern words via a second corpus reusing the fixture shape
+    got = _check("regex_redact", corpus_dir, ray_session)
+    assert (got.n_redacted == 0).all()  # crafted corpus has no targets
+
+    from geo_epic_ray.pipelines.queries import QUERIES
+
+    red = QUERIES["regex_redact"]("/root/testdata/sf0.001").to_pandas()
+    assert (red.n_redacted > 0).any()
+    assert red.red_text.str.contains("<X>").any()
+    # word-boundary semantics: no partial-word hits ('keyword' untouched)
+    assert not red.red_text.str.contains(r"\bcustomer\b", regex=True).any()
+
+
+def test_source_mix_weighted(ray_session, corpus_dir):
+    got = _check("source_mix_weighted", corpus_dir, ray_session)
+    # src0 rate is 1.0 -> every src0 doc kept
+    src0 = {0, 5, 10, 12}
+    assert src0 <= set(got.doc_id)
+
+    # determinism at gate scale: two runs pick identical rows
+    from geo_epic_ray.pipelines.queries import QUERIES
+
+    a = _canon(QUERIES["source_mix_weighted"]("/root/testdata/sf0.001").to_pandas())
+    b = _canon(QUERIES["source_mix_weighted"]("/root/testdata/sf0.001").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sequence_pack_bins(ray_session, corpus_dir):
+    got = _check("sequence_pack_bins", corpus_dir, ray_session)
+    by_id = got.set_index("doc_id").sort_index()
+    # bins are nondecreasing in doc order and start at 0
+    assert by_id.bin.iloc[0] == 0
+    assert (np.diff(by_id.bin.to_numpy()) >= 0).all()
+    # the jumbo doc (6001 chars > budget 4096) forces doc 13 past bin 1
+    assert by_id.loc[13, "bin"] >= 1
