@@ -88,14 +88,11 @@ def connected_components(
             }
         )
 
+    # Only EDGE ENDPOINTS propagate through the rounds — isolated nodes
+    # (the vast majority in a near-dup graph) would otherwise ride every
+    # all-to-all as inert (n, n) rows. They join once, in the final
+    # labeling pass, where min(cand ∪ {node}) labels them with themselves.
     msgs = edges.map_batches(to_msgs, batch_format="pandas")
-    if nodes is not None:
-
-        def selfloop(b: pd.DataFrame) -> pd.DataFrame:
-            n = b[id_a].to_numpy(dtype=np.int64)
-            return pd.DataFrame({"node": n, "cand": n})
-
-        msgs = msgs.union(nodes.map_batches(selfloop, batch_format="pandas"))
 
     def bucketize(b: pd.DataFrame, salt: int = 0) -> pd.DataFrame:
         b = b.copy()
@@ -136,6 +133,10 @@ def connected_components(
     rows = msgs  # round 1 shuffles it directly; no point materializing
     prev_sig = None
     for _ in range(max_rounds):
+        # the salt must stay FIXED across rounds: a row can be emitted by
+        # several buckets (e.g. (rep, rep) from every member's bucket),
+        # and its multiplicity depends on the bucketing — under a rotating
+        # salt the signature never stabilizes even at the label fixpoint.
         rows = (
             rows.map_batches(bucketize, batch_format="pandas")
             .groupby("__bucket")
@@ -145,6 +146,14 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+
+    if nodes is not None:
+
+        def selfloop(b: pd.DataFrame) -> pd.DataFrame:
+            n = b[id_a].to_numpy(dtype=np.int64)
+            return pd.DataFrame({"node": n, "cand": n})
+
+        rows = rows.union(nodes.map_batches(selfloop, batch_format="pandas"))
 
     def labels(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
