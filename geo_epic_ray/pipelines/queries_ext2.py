@@ -476,18 +476,37 @@ def incremental_dedup_new(sf_dir: str):
     # feeds four consumers (max, bloom partials, both anti-join sides) —
     # without materializing, each consumer re-reads and re-projects.
     pref = docs.map_batches(prefixed, batch_format="pandas").materialize()
-    split = (pref.max("doc_id") + 1) // 2
+
+    # ONE more pass computes BOTH driver-side scalars: the per-block max
+    # (for the old/new split) and a per-block Bloom of EVERY prefix
+    # tagged by the block's id range. Old-ness is decided at merge time:
+    # a block's Bloom is folded in only when its ids lie under the split
+    # (mixed blocks are re-filtered in one tiny driver pass) — so the
+    # split doesn't need its own execution before the Bloom pass.
+    def scalar_partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = BloomFilter(1 << 20, 4).add(b.prefix.to_numpy())
+        return pd.DataFrame(
+            {"lo": [int(b.doc_id.min())], "hi": [int(b.doc_id.max())],
+             "bits": [f.bits.tobytes()]}
+        )
+
+    parts = pref.map_batches(scalar_partial, batch_format="pandas").to_pandas()
+    split = (int(parts.hi.max()) + 1) // 2
     old = pref.filter(expr=f"doc_id < {split}")
     new = pref.filter(expr=f"doc_id >= {split}")
 
-    def bloom_partial(b: pd.DataFrame) -> pd.DataFrame:
-        f = BloomFilter(1 << 20, 4).add(b.prefix.to_numpy())
-        return pd.DataFrame({"bits": [f.bits.tobytes()]})
-
-    parts = old.map_batches(bloom_partial, batch_format="pandas").to_pandas()
     acc = BloomFilter(1 << 20, 4)
-    for blob in parts.bits:  # constant-size per block
-        acc.bits |= np.frombuffer(blob, dtype=np.uint8)
+    for _, row in parts.iterrows():  # one constant-size row per BLOCK
+        if row.hi < split:
+            acc.bits |= np.frombuffer(row.bits, dtype=np.uint8)
+    # blocks straddling the split (id-ordered read: at most a handful)
+    # over-count only on the new side, so their old-side prefixes are
+    # re-added exactly via one bounded filtered pass
+    straddle = parts[(parts.lo < split) & (parts.hi >= split)]
+    if len(straddle):
+        lo = int(straddle.lo.min())
+        extra = pref.filter(expr=f"doc_id >= {lo} and doc_id < {split}")
+        acc.add(extra.to_pandas().prefix.to_numpy())
     bloom_ref = ray.put(acc)
 
     def split_by_bloom(hit: bool):
