@@ -249,3 +249,120 @@ def sequence_pack_bins(sf_dir: str):
         lambda g: assign(g.drop(columns="__bk")),
         n_buckets=64,
     )
+
+
+# --- per-language quantile length filter -------------------------------------
+
+_QBAND_SQL = """
+WITH q AS (
+  SELECT lang,
+         quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN q USING(lang)
+WHERE d.n_chars BETWEEN q.lo AND q.hi
+"""
+
+
+@register("length_band_filter", _QBAND_SQL)
+def length_band_filter(sf_dir: str):
+    """Per-language outlier-length filter (keep docs between the p5 and
+    p95 of n_chars within their language) — EXACT discrete quantiles at
+    any scale via value histograms: one streamed pass emits per-batch
+    (lang, n_chars, cnt) partials (driver-side cardinality bounded by
+    #langs x #distinct lengths, both small by construction), the driver
+    reads each language's quantile off the merged cumulative histogram
+    with DuckDB's quantile_disc rank rule (value at 1-based rank
+    ceil(q*n)), and a second pass filters against the broadcast
+    thresholds. No shuffle, no sort."""
+    from ..stages.aggregates import partials_to_driver
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["lang", "n_chars"], as_index=False)
+            .size().rename(columns={"size": "cnt"})
+        )
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            p.groupby(["lang", "n_chars"], as_index=False)["cnt"].sum()
+            .sort_values(["lang", "n_chars"])
+        )
+        rows = []
+        for lang, g in h.groupby("lang"):
+            cum = g.cnt.cumsum().to_numpy()
+            n = cum[-1]
+            v = g.n_chars.to_numpy()
+            lo = v[np.searchsorted(cum, int(np.ceil(0.05 * n)))]
+            hi = v[np.searchsorted(cum, int(np.ceil(0.95 * n)))]
+            rows.append({"lang": lang, "lo": lo, "hi": hi})
+        return pd.DataFrame(rows)
+
+    bands = partials_to_driver(
+        docs.map_batches(partial, batch_format="pandas"), fold
+    )
+    lo = dict(zip(bands.lang, bands.lo))
+    hi = dict(zip(bands.lang, bands.hi))
+
+    def band_filter(b: pd.DataFrame) -> pd.DataFrame:
+        lov = b.lang.map(lo).to_numpy()
+        hiv = b.lang.map(hi).to_numpy()
+        n = b.n_chars.to_numpy()
+        return b[(n >= lov) & (n <= hiv)]
+
+    return docs.map_batches(band_filter, batch_format="pandas")
+
+
+# --- within-doc word repetition (Gopher-style quality signal) ----------------
+
+_REP_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_words,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_words
+      FROM c GROUP BY doc_id)
+SELECT doc_id, total_words, dup_words,
+       round_even(dup_words * 1.0 / total_words, 6) AS dup_frac
+FROM s
+"""
+
+
+@register("word_repetition_score", _REP_SQL)
+def word_repetition_score(sf_dir: str):
+    """Within-doc repetition (fraction of word occurrences whose word
+    repeats inside the doc — the Gopher repetition-filter signal).
+    Purely per-doc, so it never shuffles: explode + grouped transform are
+    C-speed pandas kernels per batch. dup/total division is IEEE-exact on
+    both engines; rounding is half-to-even on both (round_even rule)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b.text.str.split(" ").explode()
+        f = pd.DataFrame({"i": ex.index, "w": ex.to_numpy()})
+        occ = f.groupby(["i", "w"])["w"].transform("size").to_numpy()
+        f["dup"] = occ > 1
+        g = f.groupby("i", sort=False)
+        total = g.size()
+        dup = g["dup"].sum() * 1  # bool -> int64
+        # occ>1 marks each OCCURRENCE of a repeated word, so the grouped
+        # sum equals SQL's sum(cnt) over cnt>1 groups (occurrences, not
+        # distinct words)
+        out = pd.DataFrame(
+            {"doc_id": b.loc[total.index, "doc_id"].to_numpy(),
+             "total_words": total.to_numpy().astype(np.int64),
+             "dup_words": dup.to_numpy().astype(np.int64)}
+        )
+        out["dup_frac"] = np.round(
+            out.dup_words.to_numpy() * 1.0 / out.total_words.to_numpy(), 6
+        )
+        return out
+
+    return docs.map_batches(score, batch_format="pandas")
