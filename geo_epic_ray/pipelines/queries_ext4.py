@@ -319,6 +319,63 @@ def length_band_filter(sf_dir: str):
     return docs.map_batches(band_filter, batch_format="pandas")
 
 
+# --- corpus-statistics LM score (mean token document frequency) --------------
+
+_DF_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+j AS (SELECT w.doc_id, df.df FROM w JOIN df USING(word))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round_even(sum(df) * 1.0 / count(*), 6) AS mean_df
+FROM j GROUP BY doc_id
+"""
+
+
+@register("token_df_score", _DF_SQL)
+def token_df_score(sf_dir: str):
+    """Corpus-statistics quality score (the KenLM-shape op: score every
+    doc against a statistic of the WHOLE corpus): per-doc mean document
+    frequency of its token occurrences, in exactly two shuffles — (1)
+    occurrences bucketed by word, where each bucket holds every copy of
+    its words, so the distinct-doc df AND the per-occurrence annotation
+    happen in one grouped pass (no separate stats⋈occurrences join);
+    (2) annotated occurrences bucketed by doc for the mean. Integer sums
+    are exact; the final division is IEEE-identical to DuckDB's and
+    rounded half-to-even on both sides."""
+    from ..stages.aggregates import bucketed_group_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b.text.str.split(" ").explode()
+        return pd.DataFrame(
+            {"doc_id": b.loc[ex.index, "doc_id"].to_numpy(),
+             "word": ex.to_numpy()}
+        )
+
+    occ = docs.map_batches(tokens, batch_format="pandas")
+
+    def annotate(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("word")["doc_id"].nunique()
+        return pd.DataFrame(
+            {"doc_id": g.doc_id.to_numpy(),
+             "df": g.word.map(df).to_numpy(np.int64)}
+        )
+
+    ann = bucketed_group_agg(occ, ["word"], annotate, n_buckets=64)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("df", "size"), s=("df", "sum")
+        )
+        gg["mean_df"] = np.round(gg.s.to_numpy() * 1.0 / gg.n_tokens.to_numpy(), 6)
+        gg["n_tokens"] = gg.n_tokens.astype(np.int64)
+        return gg[["doc_id", "n_tokens", "mean_df"]]
+
+    return bucketed_group_agg(ann, ["doc_id"], per_doc, n_buckets=64)
+
+
 # --- within-doc word repetition (Gopher-style quality signal) ----------------
 
 _REP_SQL = """

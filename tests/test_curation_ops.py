@@ -139,6 +139,15 @@ def test_word_repetition_score(ray_session, corpus_dir):
     assert by_id.loc[5, "dup_frac"] == 0.0
 
 
+def test_token_df_score(ray_session, corpus_dir):
+    got = _check("token_df_score", corpus_dir, ray_session)
+    by_id = got.set_index("doc_id")
+    # doc 12 is 3001 copies of 'z', which appears in no other doc -> df 1
+    assert by_id.loc[12, "mean_df"] == 1.0
+    # docs 0-2 share the planted chunk words (df 3 each) + unique words
+    assert by_id.loc[0, "mean_df"] > by_id.loc[5, "mean_df"]
+
+
 def test_sequence_pack_bins(ray_session, corpus_dir):
     got = _check("sequence_pack_bins", corpus_dir, ray_session)
     by_id = got.set_index("doc_id").sort_index()
