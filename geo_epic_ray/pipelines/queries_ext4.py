@@ -348,26 +348,35 @@ def token_df_score(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        # pre-combine to DISTINCT (doc, word) rows with occurrence counts
+        # before anything shuffles: object-dtype string copies are the
+        # expensive part of a shuffle on this kernel, and a doc never
+        # spans batches, so the per-batch combine is globally exact
         ex = b.text.str.split(" ").explode()
-        return pd.DataFrame(
+        f = pd.DataFrame(
             {"doc_id": b.loc[ex.index, "doc_id"].to_numpy(),
              "word": ex.to_numpy()}
+        )
+        return f.groupby(["doc_id", "word"], as_index=False).size().rename(
+            columns={"size": "occ"}
         )
 
     occ = docs.map_batches(tokens, batch_format="pandas")
 
     def annotate(g: pd.DataFrame) -> pd.DataFrame:
-        df = g.groupby("word")["doc_id"].nunique()
+        # rows are distinct (doc, word), so df(word) == rows per word
+        df = g.groupby("word")["word"].transform("size").to_numpy(np.int64)
         return pd.DataFrame(
-            {"doc_id": g.doc_id.to_numpy(),
-             "df": g.word.map(df).to_numpy(np.int64)}
+            {"doc_id": g.doc_id.to_numpy(), "df": df,
+             "occ": g.occ.to_numpy(np.int64)}
         )
 
     ann = bucketed_group_agg(occ, ["word"], annotate, n_buckets=64)
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(s=g.df.to_numpy() * g.occ.to_numpy())
         gg = g.groupby("doc_id", as_index=False).agg(
-            n_tokens=("df", "size"), s=("df", "sum")
+            n_tokens=("occ", "sum"), s=("s", "sum")
         )
         gg["mean_df"] = np.round(gg.s.to_numpy() * 1.0 / gg.n_tokens.to_numpy(), 6)
         gg["n_tokens"] = gg.n_tokens.astype(np.int64)
