@@ -319,6 +319,77 @@ def length_band_filter(sf_dir: str):
     return docs.map_batches(band_filter, batch_format="pandas")
 
 
+# --- deterministic epoch-shuffle order (global rank, no global sort) ---------
+
+_SHUF_SQL = """
+WITH h AS (SELECT doc_id,
+                  (CAST(doc_id AS HUGEINT) * 2654435761 + 17) % 4294967296
+                    AS hv
+           FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("shuffle_train_order", _SHUF_SQL)
+def shuffle_train_order(sf_dir: str):
+    """Deterministic training-order shuffle: every doc gets its global
+    0-based position in multiplicative-hash order — the epoch-shuffle op
+    a pretraining pipeline needs, reproducible across runs, engines, and
+    cluster sizes (no RNG, no seed state). No global sort: the hash
+    domain is RANGE-bucketed (hv >> 26 -> 64 buckets), one streamed pass
+    counts per bucket, the driver folds exclusive offsets (#buckets
+    rows), and one bucketed pass ranks in-bucket by (hv, doc_id) and adds
+    the offset. Ties are impossible below 2^32 docs (hv is a bijection
+    mod 2^32) but doc_id breaks them identically to the SQL anyway."""
+    from ..stages.aggregates import bucketed_group_agg, partials_to_driver
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        hv = (
+            b.doc_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(17)
+        ) % np.uint64(4294967296)
+        return pd.DataFrame(
+            {"doc_id": b.doc_id.to_numpy(),
+             "hv": hv.astype(np.int64),
+             "__rb": (hv >> np.uint64(26)).astype(np.int64)}
+        )
+
+    hd = docs.map_batches(hashed, batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("__rb", as_index=False).size()
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        t = p.groupby("__rb", as_index=False)["size"].sum().sort_values("__rb")
+        t["off"] = t["size"].cumsum() - t["size"]
+        return t[["__rb", "off"]].reset_index(drop=True)
+
+    offs = partials_to_driver(
+        hd.map_batches(partial, batch_format="pandas"), fold
+    )
+    rb_ids = offs["__rb"].to_numpy()
+    rb_off = offs["off"].to_numpy()
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for rb, sub in g.groupby("__rb", sort=False):
+            order = np.lexsort((sub.doc_id.to_numpy(), sub.hv.to_numpy()))
+            base = rb_off[np.searchsorted(rb_ids, rb)]
+            pos = np.empty(len(sub), dtype=np.int64)
+            pos[order] = base + np.arange(len(sub), dtype=np.int64)
+            frames.append(pd.DataFrame({"doc_id": sub.doc_id.to_numpy(), "pos": pos}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "pos": pd.Series([], dtype=np.int64)}
+        )
+
+    return bucketed_group_agg(hd, ["__rb"], rank, n_buckets=64)
+
+
 # --- corpus-statistics LM score (mean token document frequency) --------------
 
 _DF_SQL = """

@@ -148,6 +148,14 @@ def test_token_df_score(ray_session, corpus_dir):
     assert by_id.loc[0, "mean_df"] > by_id.loc[5, "mean_df"]
 
 
+def test_shuffle_train_order(ray_session, corpus_dir):
+    got = _check("shuffle_train_order", corpus_dir, ray_session)
+    # pos is a permutation of 0..n-1 and not the identity order
+    pos = got.sort_values("doc_id").pos.to_numpy()
+    assert sorted(pos) == list(range(len(got)))
+    assert not (pos == np.arange(len(got))).all()
+
+
 def test_sequence_pack_bins(ray_session, corpus_dir):
     got = _check("sequence_pack_bins", corpus_dir, ray_session)
     by_id = got.set_index("doc_id").sort_index()
