@@ -537,7 +537,48 @@ def winnow_overlap_pairs_q(sf_dir: str):
     ).sort(["id_a", "id_b"])
 
 
-@register("lang_id_scores")
+# SQL mirrors of the heuristic lang-ID: per-language stopword coverage over
+# [a-zA-Z]+ tokens in the first 2000 chars (lower-then-[a-z]+ tokenizes
+# identically), CJK codepoint ratio over the first 400 chars, argmax with
+# first-wins tie order en > de > es > fr (the engine's dict order).
+_LANG_SW_SQL = {
+    "en": "'the','and','of','to','a','in','is','it','that','for'",
+    "de": "'der','die','das','und','ist','nicht','ein','mit','zu','auf'",
+    "es": "'el','la','de','que','y','en','un','una','es','por'",
+    "fr": "'le','la','les','de','et','un','une','est','que','pour'",
+}
+_LANG_SCORE_COLS = ",\n    ".join(
+    f"len(list_filter(toks, x -> x IN ({sw}))) * 1.0 / greatest(1, len(toks)) AS s_{l}"
+    for l, sw in _LANG_SW_SQL.items()
+)
+
+_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+tok AS (
+  SELECT doc_id, length(txt) AS n_chars,
+    regexp_extract_all(lower(substr(txt, 1, 2000)), '[a-z]+') AS toks,
+    length(regexp_replace(substr(txt, 1, 400), '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk
+  FROM t),
+sc AS (
+  SELECT doc_id, n_chars, len(toks) AS n_toks,
+    n_cjk * 1.0 / greatest(1, least(n_chars, 400)) AS cjk_ratio,
+    {_LANG_SCORE_COLS}
+  FROM tok)
+SELECT doc_id,
+  CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+       WHEN n_chars = 0 OR n_toks = 0 THEN 'und'
+       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+  CAST(CASE WHEN cjk_ratio > 0.2 THEN round_even(cjk_ratio, 6)
+       WHEN n_chars = 0 OR n_toks = 0 THEN 0.0
+       ELSE round_even(greatest(s_en, s_de, s_es, s_fr), 6) END AS DOUBLE) AS lang_score
+FROM sc
+"""
+
+
+@register("lang_id_scores", _LANG_ID_SQL)
 def lang_id_scores(sf_dir: str):
     from ..stages.text import lang_id
 
@@ -545,7 +586,27 @@ def lang_id_scores(sf_dir: str):
     return lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_score"])
 
 
-@register("quality_scores")
+# SQL mirror of quality_scores: whitespace-split tokens (trim + \\s+ split ==
+# pandas str.split()), literal-space strip for mean word length, RE2 [\\w\\s]
+# == Python re on this ASCII corpus, round-half-even everywhere.
+_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+tok AS (
+  SELECT doc_id, txt,
+    CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(txt), '\\s+') END AS toks
+  FROM t)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  round_even(length(replace(txt, ' ', '')) * 1.0 / greatest(len(toks), 1), 6) AS mean_word_len,
+  round_even(length(regexp_replace(txt, '[\\w\\s]', '', 'g')) * 1.0 / greatest(length(txt), 1), 6) AS punct_ratio,
+  round_even(len(list_filter(toks, x -> lower(x) IN ({_LANG_SW_SQL["en"]}))) * 1.0
+             / greatest(len(toks), 1), 6) AS stopword_ratio
+FROM tok
+"""
+
+
+@register("quality_scores", _QUALITY_SQL)
 def quality_scores_q(sf_dir: str):
     from ..stages.text import quality_scores
 
