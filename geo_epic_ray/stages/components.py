@@ -7,26 +7,44 @@ pairwise dedup can drop both b and c). The reference has no graph
 operator (its dedup is drop_duplicates, geoEpic/utils/misc.py:89); this
 is one of the from-scratch scale components.
 
-Algorithm: hash-to-min label propagation (Rastogi et al., ICDE'13) —
-maintain a (node, cand) message multiset; each round, every node v with
-candidate set C (incl. itself) and m = min(C) sends m to every member of
-C and every member of C to m. One bucketed shuffle per round (hash(node)
-% n_buckets, C-speed pandas groupby inside the bucket — Ray's native
-per-group reduce overhead avoided, see stages/aggregates.py). Converges
-in O(log d) rounds for diameter-d components; per-round message volume
-stays O(|V| + |E|) after in-bucket dedup. The fixed point is detected by
-an order-insensitive multiset signature (count + XOR of row hashes) of
-the materialized round output — two cheap streaming passes, no driver
-collection of rows.
+Algorithm: hash-to-min label propagation (Rastogi et al., ICDE'13) with
+per-bucket local contraction — each round, every node v's candidate set
+C (incl. itself) with m = min(C) sends m to every member of C and every
+member of C to m; buckets first close their induced subgraph locally
+(vectorized min-label iteration), so global rounds are
+O(log #buckets-spanned) and per-round volume stays O(|V| + |E|) after
+in-bucket dedup.
 
-At 100-TB scale every round is a single all-to-all keyed by node id;
-nothing is ever materialized to the driver (labels stay a Dataset).
+Execution: raw Ray tasks (BSP), NOT a Dataset groupby per round — the
+one place in this engine where the Dataset API is the wrong tool. An
+iterative fixpoint needs (a) cheap rounds (a Dataset groupby round pays
+multi-second fixed sort/shuffle overhead on every iteration) and (b) a
+convergence probe without an extra pass. Here each round is n_buckets
+tasks; messages move bucket-to-bucket as int64 arrays through the object
+store (the same all-to-all a shuffle would do, without per-round plan
+overhead), and every task returns its OWNED-LABEL signature (count + XOR
+over (node, rep) hashes for nodes hashing to its bucket) as a by-product
+of the closure it already computed. The loop stops one round after the
+labeling stabilizes — strictly earlier than waiting for the full message
+SET to stop changing (stale transitional rows keep shrinking for 1-2
+rounds after labels are final). At 100-TB scale: n_buckets ~ #workers,
+driver holds only O(n_buckets^2) object refs per round, per-bucket
+arrays spill via the object store; the known hash-to-min caveat stands —
+a giant component's min node receives O(|component|) messages.
+
+The final labeling joins isolated nodes (the vast majority in a near-dup
+graph) exactly once: node arrays route to the same buckets, a per-bucket
+merge emits min-reachable labels for endpoints and self-labels for the
+rest, and the per-bucket Arrow tables become the output Dataset with no
+further shuffle.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import ray
 import ray.data as rd
 
 _H1 = np.uint64(0x9E3779B97F4A7C15)
@@ -41,20 +59,115 @@ def _row_hash(node: np.ndarray, cand: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(33))
 
 
-def _signature(rows: rd.Dataset) -> tuple[int, int]:
-    """Order-insensitive multiset signature of (node, cand) rows: row count
-    plus XOR of per-row 64-bit hashes (XOR because the round output is
-    deduplicated per bucket, so the multiset is a set)."""
+def _bucket_of(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    h = ids.astype(np.int64).view(np.uint64) * _H1
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
-    def h(b: pd.DataFrame) -> pd.DataFrame:
-        hv = _row_hash(b["node"].to_numpy(), b["cand"].to_numpy())
-        x = np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
-        return pd.DataFrame({"n": [len(b)], "x": [np.int64(x.astype(np.int64))]})
 
-    parts = rows.map_batches(h, batch_format="pandas").to_pandas()
-    if not len(parts):
-        return 0, 0
-    return int(parts.n.sum()), int(np.bitwise_xor.reduce(parts.x.to_numpy()))
+def _route(node: np.ndarray, cand: np.ndarray, n_buckets: int) -> list[np.ndarray]:
+    """Split (node, cand) pairs into per-bucket (2, k) arrays by hash(node)."""
+    bk = _bucket_of(node, n_buckets)
+    order = np.argsort(bk, kind="stable")
+    node, cand, bk = node[order], cand[order], bk[order]
+    bounds = np.searchsorted(bk, np.arange(n_buckets + 1))
+    return [
+        np.stack([node[s:e], cand[s:e]])
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ]
+
+
+@ray.remote
+def _cc_scatter(tbl: pa.Table, col_a: str, col_b: str, n_buckets: int):
+    """Edge block -> per-bucket (node, cand) message arrays (both
+    directions, routed by hash(node))."""
+    if tbl.num_rows == 0 or col_a not in tbl.column_names:
+        # upstream map_groups can emit empty blocks with an empty schema
+        empty = np.empty((2, 0), dtype=np.int64)
+        return tuple(empty for _ in range(n_buckets))
+    a = tbl[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+    return tuple(_route(np.concatenate([a, b]), np.concatenate([b, a]), n_buckets))
+
+
+@ray.remote
+def _cc_scatter_nodes(tbl: pa.Table, col: str, n_buckets: int):
+    if tbl.num_rows == 0 or col not in tbl.column_names:
+        empty = np.empty(0, dtype=np.int64)
+        return tuple(empty for _ in range(n_buckets))
+    ids = np.unique(tbl[col].to_numpy(zero_copy_only=False).astype(np.int64))
+    bk = _bucket_of(ids, n_buckets)
+    order = np.argsort(bk, kind="stable")
+    ids, bk = ids[order], bk[order]
+    bounds = np.searchsorted(bk, np.arange(n_buckets + 1))
+    return tuple(ids[s:e] for s, e in zip(bounds[:-1], bounds[1:]))
+
+
+def _closure(node: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Local min-label closure of the induced subgraph: ids (sorted asc)
+    and each id's representative (min reachable id within these rows)."""
+    ids, inv = np.unique(np.concatenate([node, cand]), return_inverse=True)
+    src = np.concatenate([inv[: node.size], inv[node.size:]])
+    dst = np.concatenate([inv[node.size:], inv[: node.size]])
+    lab = np.arange(ids.size, dtype=np.int64)
+    while True:
+        before = lab.copy()
+        np.minimum.at(lab, src, lab[dst])
+        lab = lab[lab]  # pointer jump
+        if np.array_equal(lab, before):
+            break
+    return ids, ids[lab]  # ids sorted asc -> min position == min id
+
+
+@ray.remote
+def _cc_round(bucket_id: int, n_buckets: int, *parts: np.ndarray):
+    """One BSP round for one bucket: dedup incoming (node, cand) rows,
+    close the induced subgraph locally, then emit (x, rep) and (rep, x)
+    per member routed by hash(node). Returns (owned-label signature,
+    (2, k) owned-label array, out_0 .. out_{n_buckets-1})."""
+    live = [p for p in parts if p.size]
+    if live:
+        arr = np.concatenate(live, axis=1)
+        node, cand = arr[0], arr[1]
+        order = np.lexsort((cand, node))
+        node, cand = node[order], cand[order]
+        keep = np.concatenate(
+            [[True], (node[1:] != node[:-1]) | (cand[1:] != cand[:-1])]
+        )
+        node, cand = node[keep], cand[keep]
+    else:
+        node = cand = np.empty(0, dtype=np.int64)
+    ids, rep = _closure(node, cand)
+    owned = _bucket_of(ids, n_buckets) == bucket_id
+    ox, orep = ids[owned], rep[owned]
+    hv = _row_hash(ox, orep)
+    sig = (int(ox.size), int(np.bitwise_xor.reduce(hv)) if ox.size else 0)
+    # star edges both directions; drop rep==id on the reverse side so the
+    # (m, m) self row is emitted once
+    nontriv = rep != ids
+    onode = np.concatenate([ids, rep[nontriv]])
+    ocand = np.concatenate([rep, ids[nontriv]])
+    return (sig, np.stack([ox, orep]), *_route(onode, ocand, n_buckets))
+
+
+@ray.remote
+def _cc_finalize(
+    labels: np.ndarray,
+    node_col: str,
+    label_col: str,
+    *node_parts: np.ndarray,
+):
+    """Merge one bucket's endpoint labels with its (optional) full node
+    list: endpoints keep their min-reachable label, the rest self-label."""
+    ox, orep = labels[0], labels[1]
+    if node_parts:
+        allnodes = np.unique(np.concatenate(node_parts))
+        iso = allnodes[~np.isin(allnodes, ox)]
+        out_n = np.concatenate([ox, iso])
+        out_l = np.concatenate([orep, iso])
+    else:
+        out_n, out_l = ox, orep
+    return pa.table({node_col: out_n, label_col: out_l})
 
 
 def connected_components(
@@ -75,102 +188,53 @@ def connected_components(
     ``id_a`` column lists ALL node ids (isolated nodes then label
     themselves); without it only endpoint nodes are labeled.
 
-    Returns a Dataset of (node_col, label_col), one row per node.
+    Returns a Dataset of (node_col, label_col), one row per node. Output
+    labels are exact minima, so the result is deterministic regardless of
+    bucketing or block layout.
     """
-
-    def to_msgs(b: pd.DataFrame) -> pd.DataFrame:
-        a = b[id_a].to_numpy(dtype=np.int64)
-        c = b[id_b].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "node": np.concatenate([a, c]),
-                "cand": np.concatenate([c, a]),
-            }
-        )
-
+    nb = n_buckets
     # Only EDGE ENDPOINTS propagate through the rounds — isolated nodes
-    # (the vast majority in a near-dup graph) would otherwise ride every
-    # all-to-all as inert (n, n) rows. They join once, in the final
-    # labeling pass, where min(cand ∪ {node}) labels them with themselves.
-    msgs = edges.map_batches(to_msgs, batch_format="pandas")
+    # would otherwise ride every all-to-all as inert (n, n) rows.
+    blocks = edges.select_columns([id_a, id_b]).to_arrow_refs()
+    scattered = [
+        _cc_scatter.options(num_returns=nb).remote(ref, id_a, id_b, nb)
+        for ref in blocks
+    ]
+    parts: list[list] = [
+        [s[b] for s in scattered] for b in range(nb)
+    ] if blocks else [[] for _ in range(nb)]
 
-    def bucketize(b: pd.DataFrame, salt: int = 0) -> pd.DataFrame:
-        b = b.copy()
-        h = (b["node"].to_numpy(np.int64).view(np.uint64) + np.uint64(salt)) * _H1
-        h ^= h >> np.uint64(29)
-        b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
-        return b
-
-    def step(g: pd.DataFrame) -> pd.DataFrame:
-        """One round: LOCAL closure of the bucket's induced subgraph
-        (vectorized min-label iteration to a local fixpoint — the
-        local-contraction refinement of hash-to-min), then emit
-        (x, rep) and (rep, x) per member. Cuts global rounds to
-        O(log #buckets-spanned) and shrinks the message set to
-        O(#distinct ids) per bucket."""
-        g = g.drop(columns="__bucket").drop_duplicates(["node", "cand"])
-        node = g["node"].to_numpy(dtype=np.int64)
-        cand = g["cand"].to_numpy(dtype=np.int64)
-        ids, inv = np.unique(np.concatenate([node, cand]), return_inverse=True)
-        src = np.concatenate([inv[: len(node)], inv[len(node):]])
-        dst = np.concatenate([inv[len(node):], inv[: len(node)]])
-        lab = np.arange(ids.size, dtype=np.int64)
-        while True:
-            before = lab.copy()
-            np.minimum.at(lab, src, lab[dst])
-            lab = lab[lab]  # pointer jump
-            if np.array_equal(lab, before):
-                break
-        rep = ids[lab]  # ids sorted asc -> min position == min id
-        out = pd.DataFrame(
-            {
-                "node": np.concatenate([ids, rep]),
-                "cand": np.concatenate([rep, ids]),
-            }
-        )
-        return out.drop_duplicates(["node", "cand"])
-
-    rows = msgs  # round 1 shuffles it directly; no point materializing
-    prev_sig = None
+    label_refs = None
+    prev_sigs = None
     for _ in range(max_rounds):
-        # the salt must stay FIXED across rounds: a row can be emitted by
-        # several buckets (e.g. (rep, rep) from every member's bucket),
-        # and its multiplicity depends on the bucketing — under a rotating
-        # salt the signature never stabilizes even at the label fixpoint.
-        rows = (
-            rows.map_batches(bucketize, batch_format="pandas")
-            .groupby("__bucket")
-            .map_groups(step, batch_format="pandas")
-        ).materialize()
-        sig = _signature(rows)
-        if sig == prev_sig:
+        outs = [
+            _cc_round.options(num_returns=nb + 2).remote(b, nb, *parts[b])
+            for b in range(nb)
+        ]
+        sigs = ray.get([o[0] for o in outs])
+        label_refs = [o[1] for o in outs]
+        parts = [[outs[src][2 + dst] for src in range(nb)] for dst in range(nb)]
+        if sigs == prev_sigs:
             break
-        prev_sig = sig
+        prev_sigs = sigs
 
     if nodes is not None:
+        nblocks = nodes.select_columns([id_a]).to_arrow_refs()
+        nscattered = [
+            _cc_scatter_nodes.options(num_returns=nb).remote(ref, id_a, nb)
+            for ref in nblocks
+        ]
+        nparts = [[s[b] for s in nscattered] for b in range(nb)] if nblocks else [
+            [] for _ in range(nb)
+        ]
+    else:
+        nparts = [[] for _ in range(nb)]
 
-        def selfloop(b: pd.DataFrame) -> pd.DataFrame:
-            n = b[id_a].to_numpy(dtype=np.int64)
-            return pd.DataFrame({"node": n, "cand": n})
-
-        rows = rows.union(nodes.map_batches(selfloop, batch_format="pandas"))
-
-    def labels(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__bucket")
-        lab = (
-            pd.DataFrame(
-                {"node": g["node"].to_numpy(), "cand": np.minimum(g["cand"].to_numpy(), g["node"].to_numpy())}
-            )
-            .groupby("node", as_index=False)["cand"]
-            .min()
-        )
-        return lab.rename(columns={"node": node_col, "cand": label_col})
-
-    return (
-        rows.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(labels, batch_format="pandas")
-    )
+    tables = [
+        _cc_finalize.remote(label_refs[b], node_col, label_col, *nparts[b])
+        for b in range(nb)
+    ]
+    return rd.from_arrow_refs(tables)
 
 
 def blocked_components(
