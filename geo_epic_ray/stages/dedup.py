@@ -59,20 +59,39 @@ def minhash_signatures(
     texts: list[str], num_perm: int = 64, shingle_k: int = 5, seed: int = 7
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures, vectorized: one
-    universal-hash + ``minimum.reduceat`` pass per permutation."""
+    permutation + ``minimum.reduceat`` pass per row of the signature.
+
+    Permutations are multiply-add over the natural 2^64 ring (odd
+    multiplier -> a bijection of the key space) followed by one xorshift
+    mix — ~7x faster per pass than reduction mod a Mersenne prime, which
+    priced the whole LSH pipeline: at 256 total permutations (banding +
+    1-bit sketch) the modulo alone dominated signature time. The shingle
+    hashes being permuted are already well-mixed 64-bit values, so the
+    minima behave as independent draws per permutation."""
     hashes, offsets = _hash_bytes_rolling(texts, shingle_k)
-    n = len(texts)
+    return minhash_from_hashes(hashes, offsets, num_perm, seed)
+
+
+def minhash_from_hashes(
+    hashes: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """MinHash signatures over a precomputed per-doc shingle-hash layout
+    (hashes[offsets[i]:offsets[i+1]] = doc i's shingles) — lets one
+    shingle pass feed several signature families (banding perms + the
+    independent 1-bit-sketch perms share the pass instead of re-shingling
+    the batch per call)."""
+    n = offsets.size - 1
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if hashes.size == 0:
         return sig
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _P61, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _P61, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
     starts = offsets[:-1]
     nonempty = offsets[1:] > offsets[:-1]
-    h61 = hashes % np.uint64(_P61)
     for i in range(num_perm):
-        hv = (a[i] * h61 + b[i]) % np.uint64(_P61)
+        hv = a[i] * hashes + b[i]
+        hv ^= hv >> np.uint64(33)
         mins = np.minimum.reduceat(hv, np.minimum(starts, hv.size - 1))
         sig[nonempty, i] = mins[nonempty]
     return sig
@@ -129,7 +148,8 @@ def minhash_lsh_buckets(
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         txts = batch[text_col].tolist()
-        sig = minhash_signatures(txts, num_perm, shingle_k)
+        hashes, offsets = _hash_bytes_rolling(txts, shingle_k)  # one pass
+        sig = minhash_from_hashes(hashes, offsets, num_perm, seed=7)
         bh = band_hashes(sig, bands)
         n = len(batch)
         out = {
@@ -138,7 +158,7 @@ def minhash_lsh_buckets(
             id_col: np.repeat(batch[id_col].to_numpy(), bands),
         }
         if sketch_bits:
-            sk = sig_bits(minhash_signatures(txts, sketch_bits, shingle_k, seed=8))
+            sk = sig_bits(minhash_from_hashes(hashes, offsets, sketch_bits, seed=8))
             for w in range(n_words):
                 out[f"sb{w}"] = np.repeat(sk[:, w].view(np.int64), bands)
         return pd.DataFrame(out)
@@ -311,13 +331,13 @@ def bucketed_pairs(
     settings the junk-candidate volume is ~1000x the true-pair volume and
     pruning after the fact pays for it in allocation traffic."""
 
+    from . import exchange
+
     cols = [key_col, id_col] + list(payload_cols or [])
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[cols].copy()
+    def bucket_of(b: pd.DataFrame) -> np.ndarray:
         h = b[key_col].to_numpy(dtype=np.int64).view(np.uint64)
-        b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
-        return b
+        return (h % np.uint64(n_buckets)).astype(np.int64)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         a, b, order = keyed_id_pairs(
@@ -340,11 +360,15 @@ def bucketed_pairs(
         cand = pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
         return cand.drop_duplicates(["id_a", "id_b"])
 
-    return (
-        kb.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    parts = exchange.scatter(
+        kb.map_batches(lambda b: b[cols], batch_format="pandas"),
+        n_buckets,
+        bucket_of,
     )
+    empty = pd.DataFrame(
+        {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+    )
+    return exchange.group_map(parts, pairs_in_bucket, empty)
 
 
 def pair_payload_verify(
@@ -356,16 +380,17 @@ def pair_payload_verify(
     payload_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Verify candidate pairs against a per-id payload WITHOUT broadcasting
-    the payload: explode each pair into two member rows, hash-partitioned
-    rejoin of the payload by id (bucket_join — both sides stream), then
-    regroup by pair and run ``verify_bucket_fn`` per pair-bucket. Duplicate
-    pairs (e.g. from different LSH bands/tables) land in the same
-    pair-bucket, so the verify fn dedups them there — no driver pass.
+    the payload: explode each pair into two member rows, cogroup with the
+    payload by hash-partitioned id (task exchange — no padded union, each
+    side keeps its dtypes), then re-scatter by pair and run
+    ``verify_bucket_fn`` per pair-bucket. Duplicate pairs (e.g. from
+    different LSH bands/tables) land in the same pair-bucket, so the
+    verify fn dedups them there — no driver pass.
 
-    ``payload_cols`` (the payload's non-id columns) lets the join skip its
-    schema() derivation — cand's plan ends in a shuffle, and schema() on it
-    would execute that shuffle a second time."""
-    from .joins import bucket_join
+    ``payload_cols`` (the payload's non-id columns), when given, prunes
+    the payload side to exactly the columns the verify needs before the
+    exchange."""
+    from . import exchange
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         a = b["id_a"].to_numpy()
@@ -379,38 +404,43 @@ def pair_payload_verify(
         )
 
     members = cand.map_batches(explode, batch_format="pandas")
-    hints = {}
     if payload_cols is not None:
-        hints = {
-            "left_cols": ["id_a", "id_b"],
-            "right_cols": list(payload_cols),
-            "int_dtypes": {
-                id_col: np.int64, "id_a": np.int64, "id_b": np.int64
-            },
-        }
-    joined = bucket_join(members, payload, on=id_col, n_buckets=n_buckets, **hints)
+        pcols = [id_col] + list(payload_cols)
+        payload = payload.map_batches(lambda b: b[pcols], batch_format="pandas")
+    key = exchange.hash_bucket_fn(id_col, n_buckets)
+    mparts = exchange.scatter(members, n_buckets, key)
+    pparts = exchange.scatter(payload, n_buckets, key)
 
-    def pbucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__pb"] = pair_bucket_keys(
-            b["id_a"].to_numpy(), b["id_b"].to_numpy(), n_buckets
+    def join2(mdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        # inner join: a pair member without payload (caller-supplied
+        # subset) simply drops here; the pair itself dies in `run` below
+        j = mdf.merge(pdf, on=id_col, how="inner")
+        j["__pb"] = pair_bucket_keys(
+            j["id_a"].to_numpy(), j["id_b"].to_numpy(), n_buckets
         )
-        return b
+        return j
+
+    jempty = pd.DataFrame(
+        {
+            id_col: np.empty(0, np.int64),
+            "id_a": np.empty(0, np.int64),
+            "id_b": np.empty(0, np.int64),
+            "__pb": np.empty(0, np.int64),
+        }
+    )
+    joined = exchange.cogroup_map(mparts, pparts, join2, jempty, require="both")
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__pb")
         # a pair is verifiable only if BOTH member payload rows joined
-        # (a caller-supplied payload subset may lack one side) — drop the
-        # incomplete pair's rows instead of KeyError-ing the whole job
         present = set(g[id_col])
         ok = g["id_a"].isin(present).to_numpy() & g["id_b"].isin(present).to_numpy()
         return verify_bucket_fn(g[ok] if not ok.all() else g)
 
-    return (
-        joined.map_batches(pbucket, batch_format="pandas")
-        .groupby("__pb")
-        .map_groups(run, batch_format="pandas")
+    jparts = exchange.scatter(
+        joined, n_buckets, lambda df: df["__pb"].to_numpy(dtype=np.int64)
     )
+    return exchange.group_map(jparts, run, verify_bucket_fn(pd.DataFrame()))
 
 
 def minhash_dedup_pairs(
@@ -499,7 +529,11 @@ def minhash_dedup_pairs(
     def to_payload(b: pd.DataFrame) -> pd.DataFrame:
         txts = b[text_col].tolist()
         hs, offs = char_shingle_hashes(txts, shingle_k)
-        sig = minhash_signatures(txts, num_perm, shingle_k)
+        # estimate signatures permute the CHAR shingle hashes the exact
+        # verify will intersect — one shingle pass for both stages, and
+        # the agreement fraction estimates exactly the jaccard being
+        # verified (byte-shingle minhash would re-shingle the batch)
+        sig = minhash_from_hashes(hs, offs, num_perm, seed=7)
         return pd.DataFrame(
             {
                 id_col: b[id_col].to_numpy(),

@@ -1,0 +1,166 @@
+"""Task-based bucket exchange — a push-based shuffle for bucketed
+group-map stages.
+
+Why this exists: the engine's wide operators bucket rows by a hash key
+and run a vectorized kernel per bucket. Expressed as
+``groupby("__bucket").map_groups(fn)``, every such stage pays Ray Data's
+sort-based shuffle: boundary sampling plus two task waves plus plan
+overhead — a multi-second FIXED cost per stage on this build, which
+dominates chained-dedup pipelines (pairs -> payload join -> pair verify
+is three sorts back to back) at any input size. This module implements
+the same all-to-all as two waves of plain Ray tasks, the way Ray's own
+push-based shuffle works: map tasks split each block into ``n_buckets``
+object-store partitions (`scatter`), one reduce task per non-empty
+bucket concatenates its partitions and applies the kernel (`group_map` /
+`cogroup_map`), and the reduce outputs become the result Dataset via
+``from_arrow_refs`` — no sort, no sampling, no per-stage plan rebuild.
+
+Scale notes (100-TB posture):
+- identical data movement to a hash shuffle: every row crosses the
+  object store exactly once; partitions spill like any other object.
+- ``n_buckets`` plays the reducer-count role — size it to the cluster
+  (callers already take it as a parameter).
+- the driver holds O(n_blocks x n_buckets) refs and one small counts
+  vector per block (the only driver-side sync between the waves); rows
+  never reach the driver.
+- skewed bucket keys concentrate rows in one reduce task, exactly as
+  they would in one reducer of a sort shuffle — salt upstream
+  (stages/partition.py) when the key histogram is pathological.
+
+Semantics match the groupby form: `fn` sees each bucket's rows as one
+pandas DataFrame (concatenated in deterministic block order) and returns
+a DataFrame; empty buckets are skipped entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+BucketFn = Callable[[pd.DataFrame], np.ndarray]
+
+
+@ray.remote
+def _scatter_task(tbl: pa.Table, bucket_fn: BucketFn, nb: int):
+    """One block -> per-bucket row counts + nb table slices (None when
+    empty). ``bucket_fn`` maps the block's rows (pandas) to int64 bucket
+    ids in [0, nb)."""
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        # upstream map_groups can emit empty blocks with an empty schema
+        return (np.zeros(nb, dtype=np.int64), *(None for _ in range(nb)))
+    bk = np.asarray(bucket_fn(tbl.to_pandas()), dtype=np.int64)
+    order = np.argsort(bk, kind="stable")
+    tbl = tbl.take(order)
+    bk = bk[order]
+    bounds = np.searchsorted(bk, np.arange(nb + 1))
+    counts = np.diff(bounds)
+    return (
+        counts,
+        *(
+            tbl.slice(s, e - s) if e > s else None
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ),
+    )
+
+
+def scatter(
+    ds: rd.Dataset, n_buckets: int, bucket_fn: BucketFn
+) -> list[list[ray.ObjectRef]]:
+    """Execute ``ds`` and split every block into hash buckets. Returns,
+    per bucket, the refs of its non-empty partitions (deterministic block
+    order). The only driver sync is the per-block counts vector."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return [[] for _ in range(n_buckets)]
+    scattered = [
+        _scatter_task.options(num_returns=n_buckets + 1).remote(
+            r, bucket_fn, n_buckets
+        )
+        for r in refs
+    ]
+    counts = ray.get([s[0] for s in scattered])
+    return [
+        [scattered[i][1 + b] for i in range(len(refs)) if counts[i][b] > 0]
+        for b in range(n_buckets)
+    ]
+
+
+def _to_df(parts: tuple[pa.Table, ...]) -> pd.DataFrame:
+    tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    return tbl.to_pandas()
+
+
+@ray.remote
+def _apply_task(fn, *parts: pa.Table) -> pa.Table:
+    return pa.Table.from_pandas(fn(_to_df(parts)), preserve_index=False)
+
+
+@ray.remote
+def _coapply_task(fn2, n_left: int, *parts: pa.Table) -> pa.Table:
+    left = parts[:n_left]
+    right = parts[n_left:]
+    ldf = _to_df(left) if left else None
+    rdf = _to_df(right) if right else None
+    return pa.Table.from_pandas(fn2(ldf, rdf), preserve_index=False)
+
+
+def _result(tables: list[ray.ObjectRef], empty: pd.DataFrame) -> rd.Dataset:
+    if not tables:
+        return rd.from_pandas(empty)
+    return rd.from_arrow_refs(tables)
+
+
+def group_map(
+    parts: list[list[ray.ObjectRef]],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    empty: pd.DataFrame,
+) -> rd.Dataset:
+    """One reduce task per non-empty bucket: fn(bucket_rows) -> DataFrame.
+    ``empty`` supplies the output schema when every bucket is empty."""
+    tables = [_apply_task.remote(fn, *plist) for plist in parts if plist]
+    return _result(tables, empty)
+
+
+def cogroup_map(
+    parts_left: list[list[ray.ObjectRef]],
+    parts_right: list[list[ray.ObjectRef]],
+    fn2: Callable[[pd.DataFrame | None, pd.DataFrame | None], pd.DataFrame],
+    empty: pd.DataFrame,
+    *,
+    require: str = "both",
+) -> rd.Dataset:
+    """Per-bucket cogroup of two scattered datasets — the bucketed-join
+    primitive WITHOUT a padded union (each side keeps its own dtypes; the
+    union-pads-ints-to-float64 failure mode cannot occur). ``fn2`` gets
+    (left_df | None, right_df | None). ``require``: "both" skips buckets
+    missing either side (inner join), "left" needs only the left side
+    (left/anti shapes), "any" runs on either."""
+    tables = []
+    for pl, pr in zip(parts_left, parts_right):
+        if require == "both" and not (pl and pr):
+            continue
+        if require == "left" and not pl:
+            continue
+        if not pl and not pr:
+            continue
+        tables.append(_coapply_task.remote(fn2, len(pl), *pl, *pr))
+    return _result(tables, empty)
+
+
+def hash_bucket_fn(col: str, n_buckets: int, *, salt: int = 0) -> BucketFn:
+    """Standard int64-column bucketer: multiply-xorshift of the values."""
+
+    def f(df: pd.DataFrame) -> np.ndarray:
+        h = (
+            df[col].to_numpy(dtype=np.int64).view(np.uint64)
+            + np.uint64(salt)
+        ) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    return f

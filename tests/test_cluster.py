@@ -89,3 +89,45 @@ def test_grouped_tdigest_accuracy(ray_session):
             # rank error: the estimate's true rank must be within 2% of q
             rank = (g <= row[col]).mean()
             assert abs(rank - q) < 0.02, (row.k, q, rank)
+
+
+def test_semdedup_matches_singleprocess_greedy(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.cluster import kmeans_fit, semdedup
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((60, 16))
+    # plant near-dups: rows 60..79 are perturbed copies of rows 0..19
+    twins = base[:20] + 0.03 * rng.standard_normal((20, 16))
+    vecs = np.vstack([base, twins])
+    df = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(4)
+
+    got = (
+        semdedup(ds, k=4, n_iter=3, threshold=0.9, n_buckets=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # single-process oracle: same centroids (deterministic kmeans_fit),
+    # same assignment rule, same greedy keep-first sweep
+    centroids, _ = kmeans_fit(ds, 4, 3)
+    x = vecs.astype(np.float64)
+    d2 = (x * x).sum(1)[:, None] - 2 * x @ centroids.T + (centroids * centroids).sum(1)[None, :]
+    cid = d2.argmin(axis=1)
+    norm = x / np.linalg.norm(x, axis=1, keepdims=True)
+    want_kept = np.zeros(80, dtype=bool)
+    for c in range(4):
+        members = np.flatnonzero(cid == c)
+        kept_rows = []
+        for i in members:
+            if not kept_rows or (norm[kept_rows] @ norm[i]).max() < 0.9:
+                want_kept[i] = True
+                kept_rows.append(i)
+    assert (got.cluster_id.to_numpy() == cid).all()
+    assert (got.kept.to_numpy() == want_kept).all()
+    # the planted twins must be pruned when co-clustered with the original
+    same_cluster = cid[60:] == cid[:20]
+    assert (~got.kept.to_numpy()[60:] | ~same_cluster).all()
