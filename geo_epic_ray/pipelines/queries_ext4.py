@@ -503,3 +503,83 @@ def word_repetition_score(sf_dir: str):
         return out
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+# --- lead/lag window: per-user inter-event gap statistics --------------------
+
+# Gap statistics are INTEGER MICROSECONDS end to end: a float-seconds gap
+# rounded to 4 decimals lands on exact .00005 boundaries (ts has
+# microsecond precision), where numpy and DuckDB round_even disagree at
+# the last ulp of the double representation — integer semantics have no
+# rounding step at all. The mean is an exact integer floor division.
+_EVENT_GAP_SQL = """
+WITH lagd AS (
+  SELECT user_id,
+    epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+  sum(gap) // count(gap) AS mean_gap_us,
+  max(gap) AS max_gap_us
+FROM lagd GROUP BY user_id
+"""
+
+
+@register("event_gap_stats", _EVENT_GAP_SQL)
+def event_gap_stats(sf_dir: str):
+    """LAG window function over a high-cardinality partition key: per
+    user, the gap to the previous event ((ts, event_id) order — the
+    deterministic tie rule), aggregated to mean/max microseconds (exact
+    integers; see _EVENT_GAP_SQL note). One hash-bucketed shuffle; the
+    per-bucket kernel is a vectorized grouped diff (no per-user Python).
+    A single-event user has no gaps: its mean/max are emitted as Arrow
+    NULL (validity mask), matching SQL agg-of-empty — NaN or a sentinel
+    would hash differently at the driver."""
+    import pyarrow as pa
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_buckets = 32
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = b["user_id"].to_numpy(np.int64).view(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        b["__bucket"] = ((h ^ (h >> np.uint64(29))) % np.uint64(n_buckets)).astype(
+            "int64"
+        )
+        return b
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gap = g.groupby("user_id", sort=False)["ts"].diff()
+        gap_us = gap.to_numpy().astype("timedelta64[us]").astype(np.int64)
+        valid = ~gap.isna().to_numpy()
+        g = g.assign(gap_us=np.where(valid, gap_us, 0), has_gap=valid.astype(np.int64))
+        agg = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            sum_gap=("gap_us", "sum"),
+            n_gaps=("has_gap", "sum"),
+            max_gap=("gap_us", "max"),
+        )
+        n_gaps = agg.n_gaps.to_numpy()
+        none = n_gaps == 0
+        mean_v = agg.sum_gap.to_numpy() // np.maximum(n_gaps, 1)
+        max_v = agg.max_gap.to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(agg.user_id.to_numpy()),
+                "n_events": pa.array(agg.n_events.to_numpy()),
+                "mean_gap_us": pa.array(mean_v, mask=none),
+                "max_gap_us": pa.array(max_v, mask=none),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: gaps(g.drop(columns="__bucket")), batch_format="pandas"
+        )
+    )

@@ -257,3 +257,38 @@ def test_multimodal_feature_pipeline_feeds_ann(ray_session):
     )
     out = ann_topk(ds, mat[:1], k=3, exclude_ids=np.array([0])).to_pandas()
     assert len(out) == 3 and 0 not in set(out.vec_id)
+
+
+def test_event_gap_stats_single_event_user_emits_null(ray_session, tmp_path):
+    """LAG semantics: a user with one event has no gaps -> mean/max must be
+    Arrow NULL (not NaN), matching SQL avg-of-empty; multi-event users get
+    exact grouped diffs under the (ts, event_id) tie order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_epic_ray.pipelines.queries import QUERIES
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 00:01:10",
+         "2024-01-02 09:00:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2, 3, 4], dtype=np.int64),
+            "user_id": np.array([7, 7, 7, 9], dtype=np.int64),
+            "ts": ts,
+            "event_type": ["a"] * 4,
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+    out = QUERIES["event_gap_stats"](str(tmp_path))
+    tbl = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    got = {r["user_id"]: r for r in tbl.to_pylist()}
+    assert got[7]["n_events"] == 3 and got[9]["n_events"] == 1
+    assert got[7]["mean_gap_us"] == 35_000_000 and got[7]["max_gap_us"] == 60_000_000
+    assert got[9]["mean_gap_us"] is None and got[9]["max_gap_us"] is None
+    # the null must be a true Arrow null, not NaN or a sentinel
+    mg = tbl.column("mean_gap_us")
+    assert mg.null_count == 1
