@@ -482,6 +482,10 @@ def minhash_dedup_pairs(
     with jaccard >= threshold, id_a < id_b.
     """
     if texts is None:
+        # ds feeds BOTH the band explode and the verify payload — pin the
+        # blocks once instead of executing the upstream plan twice (the
+        # dual-consumer rule; a shuffle would have materialized it anyway)
+        ds = ds.materialize()
         texts = ds
     buckets = minhash_lsh_buckets(
         ds, text_col, id_col, num_perm, bands, shingle_k,
@@ -811,6 +815,9 @@ def embedding_dup_pairs(
     tool, not a mid-similarity join). Candidate volume scales as
     n_tables * sum_buckets(m^2), so raise n_planes as the corpus grows.
     """
+    # ds feeds BOTH the code explode and the verify payload — pin the
+    # blocks once instead of executing the upstream plan twice
+    ds = ds.materialize()
     first = dim
     if first is None:
         first = len(ds.take(1)[0][emb_col])

@@ -239,14 +239,14 @@ def winnow_overlap_pairs(
     emit (NOT deduped — multiplicity is the signal) -> pair-bucket count.
     Returns (id_a, id_b, n_shared)."""
 
+    from . import exchange
+
     kb = winnow_fingerprints(ds, text_col, id_col, k, window)
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__bucket"] = (
+    def bucket_of(b: pd.DataFrame) -> np.ndarray:
+        return (
             b["fingerprint"].to_numpy().view(np.uint64) % np.uint64(n_buckets)
-        ).astype("int64")
-        return b
+        ).astype(np.int64)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -265,20 +265,19 @@ def winnow_overlap_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    cand = (
-        kb.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    empty_pairs = pd.DataFrame(
+        {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+    )
+    cand = exchange.group_map(
+        exchange.scatter(kb, n_buckets, bucket_of), pairs_in_bucket, empty_pairs
     )
 
-    def pbucket(b: pd.DataFrame) -> pd.DataFrame:
+    def pair_bucket_of(b: pd.DataFrame) -> np.ndarray:
         from .dedup import pair_bucket_keys
 
-        b = b.copy()
-        b["__pb"] = pair_bucket_keys(
+        return pair_bucket_keys(
             b["id_a"].to_numpy(), b["id_b"].to_numpy(), n_buckets
         )
-        return b
 
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         c = g.groupby(["id_a", "id_b"], as_index=False).size().rename(
@@ -286,12 +285,15 @@ def winnow_overlap_pairs(
         )
         return c[c.n_shared >= min_shared]
 
-    return (
-        cand.map_batches(pbucket, batch_format="pandas")
-        .groupby("__pb")
-        .map_groups(
-            lambda g: count_bucket(g.drop(columns="__pb")), batch_format="pandas"
-        )
+    empty_out = pd.DataFrame(
+        {
+            "id_a": np.empty(0, np.int64),
+            "id_b": np.empty(0, np.int64),
+            "n_shared": np.empty(0, np.int64),
+        }
+    )
+    return exchange.group_map(
+        exchange.scatter(cand, n_buckets, pair_bucket_of), count_bucket, empty_out
     )
 
 
