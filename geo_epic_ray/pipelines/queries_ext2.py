@@ -78,9 +78,11 @@ def dedup_components(sf_dir: str):
     from ..stages.components import connected_components
     from ..stages.dedup import blocked_pair_edges
 
+    # docs feeds both the edge builder and the node list — pin the blocks
+    # once (dual-consumer rule)
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
-    )
+    ).materialize()
     edges = blocked_pair_edges(
         docs, ["n_chars", "lang"], "doc_id", "text", threshold=0.2
     )

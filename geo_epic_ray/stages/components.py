@@ -258,23 +258,25 @@ def blocked_components(
     use the generic ``connected_components`` only when edges can cross
     partitioning keys (e.g. MinHash band candidates). Requires
     threshold > 0 (posting lists only see pairs sharing a shingle)."""
+    from . import exchange
     from .dedup import char_shingle_hashes, run_pairs
 
     if threshold <= 0:
         raise ValueError("blocked_components requires threshold > 0")
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+    def bucket_of(b: pd.DataFrame) -> np.ndarray:
         h = np.zeros(len(b), dtype=np.uint64)
         for k in key_cols:
             h = h * np.uint64(1099511628211) + pd.util.hash_array(
                 b[k].to_numpy()
             ).astype(np.uint64)
-        out = b[[id_col, text_col, *key_cols]].copy()
-        out["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
-        return out
+        return (h % np.uint64(n_buckets)).astype(np.int64)
 
     def label_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__bucket")
+        if not len(g):
+            return pd.DataFrame(
+                {id_col: np.empty(0, np.int64), label_col: np.empty(0, np.int64)}
+            )
         gid = g.groupby(key_cols, sort=False).ngroup().to_numpy()
         ids = g[id_col].to_numpy()
         order = np.lexsort((ids, gid))
@@ -309,11 +311,17 @@ def blocked_components(
                         break
         return pd.DataFrame({id_col: ids, label_col: ids[lab]})
 
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(label_bucket, batch_format="pandas")
+    parts = exchange.scatter(
+        ds.map_batches(
+            lambda b: b[[id_col, text_col, *key_cols]], batch_format="pandas"
+        ),
+        n_buckets,
+        bucket_of,
     )
+    empty = pd.DataFrame(
+        {id_col: np.empty(0, np.int64), label_col: np.empty(0, np.int64)}
+    )
+    return exchange.group_map(parts, label_bucket, empty)
 
 
 def union_find_components(edges: list[tuple[int, int]], nodes: list[int]) -> dict[int, int]:

@@ -894,18 +894,18 @@ def blocked_pair_edges(
     (stages/partition.py). Returns (id_a, id_b, jaccard), id_a < id_b.
     Requires threshold > 0 (the posting-list kernel only sees pairs with
     at least one shared shingle)."""
+    from . import exchange
+
     if threshold <= 0:
         raise ValueError("blocked_pair_edges requires threshold > 0")
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+    def bucket_of(b: pd.DataFrame) -> np.ndarray:
         h = np.zeros(len(b), dtype=np.uint64)
         for k in key_cols:
             h = h * np.uint64(1099511628211) + pd.util.hash_array(
                 b[k].to_numpy()
             ).astype(np.uint64)
-        out = b[[id_col, text_col, *key_cols]].copy()
-        out["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
-        return out
+        return (h % np.uint64(n_buckets)).astype(np.int64)
 
     empty = pd.DataFrame(
         {
@@ -924,7 +924,6 @@ def blocked_pair_edges(
         the candidate set (requires threshold > 0)."""
         if len(g) < 2:
             return empty
-        g = g.drop(columns="__bucket")
         gid = g.groupby(key_cols, sort=False).ngroup().to_numpy()
         ids = g[id_col].to_numpy()
         order = np.lexsort((ids, gid))
@@ -961,8 +960,11 @@ def blocked_pair_edges(
             }
         )
 
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    parts = exchange.scatter(
+        ds.map_batches(
+            lambda b: b[[id_col, text_col, *key_cols]], batch_format="pandas"
+        ),
+        n_buckets,
+        bucket_of,
     )
+    return exchange.group_map(parts, per_bucket, empty)
