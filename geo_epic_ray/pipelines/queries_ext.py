@@ -932,14 +932,18 @@ def jaccard_adjacent(sf_dir: str):
     """Exact char-5-gram Jaccard of each adjacent doc pair (id, id+1) —
     the near-dedup verify kernel, oracle-checked against a DuckDB
     substring-set computation. Distributed self-join: the table joins
-    itself on doc_id+1 via the hash-partitioned bucket_join (both sides
-    stream — no driver-side corpus read, no text broadcast); shingle sets
-    are vectorized 64-bit char-k-gram hash arrays, intersected as sorted
+    itself on doc_id+1 via the task exchange (cogroup per hash bucket —
+    both sides keep their dtypes, no driver-side corpus read, no text
+    broadcast); the Jaccard kernel runs INSIDE the join task on
+    vectorized 64-bit char-k-gram hash arrays intersected as sorted
     arrays. Inner join drops the max-id row exactly like the SQL."""
+    from ..stages import exchange
     from ..stages.dedup import char_shingle_hashes, jaccard_sorted
-    from ..stages.joins import bucket_join
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # one pinned read feeds both self-join sides (dual-consumer rule)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
     left = ds.map_batches(
         lambda b: pd.DataFrame({"k": b.doc_id, "id_a": b.doc_id, "ta": b.text}),
         batch_format="pandas",
@@ -948,9 +952,10 @@ def jaccard_adjacent(sf_dir: str):
         lambda b: pd.DataFrame({"k": b.doc_id - 1, "tb": b.text}),
         batch_format="pandas",
     )
-    pairs = bucket_join(left, right, on="k", n_buckets=16)
+    key = exchange.hash_bucket_fn("k", 16)
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
+    def join_score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        b = ldf.merge(rdf, on="k", how="inner")
         ha, oa = char_shingle_hashes(b.ta.tolist(), 5)
         hb, ob = char_shingle_hashes(b.tb.tolist(), 5)
         jac = [
@@ -959,7 +964,16 @@ def jaccard_adjacent(sf_dir: str):
         ]
         return pd.DataFrame({"id_a": b.id_a.to_numpy(), "jaccard": jac})
 
-    return pairs.map_batches(score, batch_format="pandas")
+    empty = pd.DataFrame(
+        {"id_a": np.empty(0, np.int64), "jaccard": np.empty(0, float)}
+    )
+    return exchange.cogroup_map(
+        exchange.scatter(left, 16, key),
+        exchange.scatter(right, 16, key),
+        join_score,
+        empty,
+        require="both",
+    )
 
 
 # --- distinct counting: exact (oracle) + HLL sketch --------------------------
