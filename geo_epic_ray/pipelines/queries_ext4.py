@@ -583,3 +583,88 @@ def event_gap_stats(sf_dir: str):
             lambda g: gaps(g.drop(columns="__bucket")), batch_format="pandas"
         )
     )
+
+
+# --- distributed NTILE: per-language length quartiles ------------------------
+
+_NTILE_SQL = """
+SELECT doc_id, lang, n_chars,
+       ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+FROM documents
+"""
+
+
+@register("ntile_length_quartiles", _NTILE_SQL)
+def ntile_length_quartiles(sf_dir: str):
+    """NTILE window function over a global per-partition order WITHOUT a
+    global sort (the curation shape: bucket every doc into its
+    within-language length quartile). Same two-phase distributed rank as
+    shuffle_train_order: the order key is RANGE-bucketed (n_chars >> 5),
+    one streamed pass counts per (lang, range-bucket), the driver folds
+    exclusive offsets plus per-language totals (#langs x #buckets rows),
+    and one bucketed pass ranks in-bucket by (n_chars, doc_id), adds the
+    offset, and applies SQL's exact NTILE remainder rule (first n%4
+    tiles are one larger). Integer in, integer out — bit-exact."""
+    from ..stages.aggregates import bucketed_group_agg, partials_to_driver
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__rb"] = (b.n_chars.to_numpy(np.int64) >> 5).astype(np.int64)
+        return b
+
+    kd = docs.map_batches(keyed, batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "__rb"], as_index=False).size()
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            p.groupby(["lang", "__rb"], as_index=False)["size"]
+            .sum()
+            .sort_values(["lang", "__rb"])
+        )
+        t["off"] = t.groupby("lang")["size"].cumsum() - t["size"]
+        t["n_lang"] = t.groupby("lang")["size"].transform("sum")
+        return t[["lang", "__rb", "off", "n_lang"]].reset_index(drop=True)
+
+    offs = partials_to_driver(
+        kd.map_batches(partial, batch_format="pandas"), fold
+    )
+    off_of = {(l, r): (o, n) for l, r, o, n in offs.itertuples(index=False)}
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for (lang, rb), sub in g.groupby(["lang", "__rb"], sort=False):
+            order = np.lexsort((sub.doc_id.to_numpy(), sub.n_chars.to_numpy()))
+            base, n = off_of[(lang, rb)]
+            r = np.empty(len(sub), dtype=np.int64)
+            r[order] = base + np.arange(len(sub), dtype=np.int64)
+            q, rem = divmod(n, 4)
+            big = rem * (q + 1)
+            tile = np.where(
+                r < big, r // (q + 1), rem + (r - big) // max(q, 1)
+            ) + 1
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": sub.doc_id.to_numpy(),
+                        "lang": lang,
+                        "n_chars": sub.n_chars.to_numpy(),
+                        "quartile": tile.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "lang": pd.Series([], dtype=str),
+                "n_chars": pd.Series([], dtype=np.int64),
+                "quartile": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    return bucketed_group_agg(kd, ["lang", "__rb"], rank, n_buckets=32)
