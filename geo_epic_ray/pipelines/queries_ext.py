@@ -1050,6 +1050,36 @@ def hll_distinct_users(sf_dir: str):
     )
 
 
+@register("hll_distinct_per_type")
+def hll_distinct_per_type(sf_dir: str):
+    """GROUPED HyperLogLog count-distinct (stages/sketches.py
+    hll_grouped_distinct): per event type, mergeable per-(key, block)
+    sketches bucketed by key hash — the scale path when key cardinality
+    AND per-key value cardinality are both unbounded. Exact answers
+    computed alongside (5 keys at gate scale); approximate by design ->
+    rows-only, accuracy asserted in tests and visible in the output."""
+    from ..stages.sketches import hll_grouped_distinct
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    est = hll_grouped_distinct(ds, "event_type", "user_id").to_pandas()
+    exact = (
+        pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        .groupby("event_type")["user_id"]
+        .nunique()
+        .rename("exact")
+        .reset_index()
+    )
+    out = est.merge(exact, on="event_type").sort_values("event_type")
+    out["estimate"] = out.estimate.round(1)
+    out["rel_err"] = (
+        (out.estimate - out.exact).abs() / out.exact.clip(lower=1)
+    ).round(4)
+    assert (out.rel_err < 0.05).all(), "HLL p=12 must be within 5%"
+    return out.reset_index(drop=True)
+
+
 # --- session windows (gap-based sessionization) ------------------------------
 
 

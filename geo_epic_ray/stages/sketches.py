@@ -309,3 +309,48 @@ def grouped_tdigest_quantiles(
     return bucketed_group_agg(
         ds.map_batches(sketch, batch_format="pandas"), [key], agg, n_buckets=n_buckets
     )
+
+
+def hll_grouped_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    p: int = 12,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-key approximate count-distinct — the scale path when BOTH the
+    key cardinality and the per-key value cardinality are unbounded
+    (exact per-key distinct needs a value shuffle; this ships one
+    2^p-byte register array per (key, block) instead). Per batch: one HLL
+    per key present; partial sketches bucket by hash(key) and merge
+    register-wise per key in one grouped pass. Returns (key, estimate)."""
+    from . import exchange
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in b.groupby(key_col, sort=False):
+            rows.append((k, HLL(p).add(g[val_col].to_numpy()).registers.tobytes()))
+        return pd.DataFrame(rows, columns=[key_col, "registers"])
+
+    parts_ds = ds.map_batches(sketch, batch_format="pandas")
+
+    def bucket_of(b: pd.DataFrame) -> np.ndarray:
+        return (
+            pd.util.hash_array(b[key_col].to_numpy()).astype(np.uint64)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, grp in g.groupby(key_col, sort=False):
+            regs = np.frombuffer(grp.registers.iloc[0], dtype=np.uint8).copy()
+            for blob in grp.registers.iloc[1:]:
+                np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+            rows.append((k, HLL(p, regs).estimate()))
+        return pd.DataFrame(rows, columns=[key_col, "estimate"])
+
+    empty = pd.DataFrame({key_col: pd.Series([], dtype=object),
+                          "estimate": pd.Series([], dtype=float)})
+    return exchange.group_map(
+        exchange.scatter(parts_ds, n_buckets, bucket_of), merge_bucket, empty
+    )

@@ -73,3 +73,25 @@ def test_tdigest_quantiles_accuracy(ray_session):
     whole = TDigest().add(vals)
     for q in (0.1, 0.5, 0.9):
         assert abs(merged.quantile(q) - whole.quantile(q)) / spread < 0.01
+
+
+def test_hll_grouped_matches_global_merge(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.sketches import HLL, hll_grouped_distinct
+
+    rng = np.random.default_rng(3)
+    n = 30000
+    key = np.where(rng.random(n) < 0.7, "a", "b")
+    val = rng.integers(0, 5000, n)
+    df = pd.DataFrame({"k": key, "v": val})
+    ds = rd.from_pandas(df).repartition(6)
+    got = hll_grouped_distinct(ds, "k", "v", p=12, n_buckets=4).to_pandas()
+    got = dict(zip(got.k, got.estimate))
+    for k in ["a", "b"]:
+        vals = df[df.k == k].v.to_numpy()
+        # grouped merge must equal a single-process HLL over the same rows
+        want = HLL(12).add(vals).estimate()
+        assert abs(got[k] - want) < 1e-9, (k, got[k], want)
+        exact = len(np.unique(vals))
+        assert abs(got[k] - exact) / exact < 0.05
