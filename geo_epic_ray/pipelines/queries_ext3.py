@@ -42,7 +42,11 @@ def campaign_window_stats(sf_dir: str):
     from ..stages.aggregates import partials_to_driver
     from ..stages.joins import range_join
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    # ev feeds both the distinct-days pass and the join's point side —
+    # pin the blocks once (dual-consumer rule)
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    ).materialize()
 
     def day_partial(b: pd.DataFrame) -> pd.DataFrame:
         d = b.ts.dt.floor("D").drop_duplicates()

@@ -205,7 +205,8 @@ def sequence_pack_bins(sf_dir: str):
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
+    ).materialize()  # two-phase scan: counts pass + rank pass
+
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         bk = b.doc_id.to_numpy() // _PACK_W
@@ -281,7 +282,7 @@ def length_band_filter(sf_dir: str):
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-    )
+    ).materialize()  # histogram pass + filter pass
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -358,7 +359,7 @@ def shuffle_train_order(sf_dir: str):
              "__rb": (hv >> np.uint64(26)).astype(np.int64)}
         )
 
-    hd = docs.map_batches(hashed, batch_format="pandas")
+    hd = docs.map_batches(hashed, batch_format="pandas").materialize()  # counts pass + rank pass
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("__rb", as_index=False).size()
@@ -616,7 +617,7 @@ def ntile_length_quartiles(sf_dir: str):
         b["__rb"] = (b.n_chars.to_numpy(np.int64) >> 5).astype(np.int64)
         return b
 
-    kd = docs.map_batches(keyed, batch_format="pandas")
+    kd = docs.map_batches(keyed, batch_format="pandas").materialize()  # counts pass + rank pass
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby(["lang", "__rb"], as_index=False).size()

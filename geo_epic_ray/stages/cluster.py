@@ -41,6 +41,9 @@ def kmeans_fit(
     smallest ids). Empty clusters keep their previous centroid. Returns
     (centroids (k,d) float64, per-cluster stats DataFrame with columns
     centroid_id, n, inertia) — stats from one final assignment pass."""
+    # the init pass + every Lloyd iteration re-consumes ds: pin the blocks
+    # once instead of executing the upstream plan n_iter+1 times
+    ds = ds.materialize()
     init = _min_k_ids(ds, id_col, vec_col, k)
     centroids = np.stack(init[vec_col].to_numpy()).astype(np.float64)
     k = centroids.shape[0]  # corpus smaller than k
@@ -126,6 +129,7 @@ def semdedup(
     """
     from . import exchange
 
+    ds = ds.materialize()  # consumed by kmeans_fit AND the assignment pass
     centroids, _ = kmeans_fit(
         ds, k, n_iter, id_col=id_col, vec_col=vec_col
     )

@@ -213,9 +213,9 @@ def range_join(
     nothing, width << max length multiplies the interval side. Overlapping
     intervals are fine (a point matches each). Both ``on`` and the
     interval bounds must be int64-microsecond convertibles (pandas
-    datetime64[us/ns] or int64). ``int_dtypes`` restores integer data
-    columns degraded to float64 by the padded union (timestamp epochs
-    stay exact through float64 — microseconds < 2^53)."""
+    datetime64[us/ns] or int64). ``int_dtypes`` is accepted for API
+    compatibility but unused: the cogroup exchange keeps each side's
+    dtypes, so the padded-union float64 degradation cannot occur."""
 
     w = np.int64(bucket_width_us)
 
@@ -246,37 +246,35 @@ def range_join(
             out[c] = b[c].to_numpy()
         return pd.DataFrame(out)
 
-    u = points.map_batches(tag_points, batch_format="pandas").union(
-        intervals.map_batches(explode_intervals, batch_format="pandas")
-    )
+    from ..stages import exchange
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        h = b["__cell"].to_numpy(np.int64).view(np.uint64) * np.uint64(
-            0x9E3779B97F4A7C15
+    key = exchange.hash_bucket_fn("__cell", n_buckets)
+
+    def join2(p: pd.DataFrame, iv: pd.DataFrame) -> pd.DataFrame:
+        # cogroup exchange: each side keeps its own dtypes — no padded
+        # union, so int_dtypes restoration is unnecessary by construction
+        m = p.drop(columns="__side").merge(
+            iv.drop(columns="__side"), on="__cell"
         )
-        b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
-        return b
-
-    idt = dict(int_dtypes or {})
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["__side"] == 0][["__cell", "__t"] + point_cols].copy()
-        iv = g[g["__side"] == 1][["__cell", "__s", "__e"] + interval_cols].copy()
-        for c, dt in idt.items():
-            if c in p.columns:
-                p[c] = p[c].astype(dt)
-            if c in iv.columns:
-                iv[c] = iv[c].astype(dt)
-        m = p.merge(iv, on="__cell")
         t = m["__t"].to_numpy(np.int64)
         keep = (m["__s"].to_numpy(np.int64) <= t) & (t < m["__e"].to_numpy(np.int64))
         return m[keep][point_cols + interval_cols]
 
-    return (
-        u.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype=object) for c in point_cols + interval_cols}
+    )
+    return exchange.cogroup_map(
+        exchange.scatter(
+            points.map_batches(tag_points, batch_format="pandas"), n_buckets, key
+        ),
+        exchange.scatter(
+            intervals.map_batches(explode_intervals, batch_format="pandas"),
+            n_buckets,
+            key,
+        ),
+        join2,
+        empty,
+        require="both",
     )
 
 
