@@ -331,6 +331,56 @@ def token_histogram(sf_dir: str):
     )
 
 
+@register(
+    "top_tokens_exact",
+    """
+    SELECT tok, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def top_tokens_exact(sf_dir: str):
+    """EXACT top-k heavy hitters over an unbounded vocabulary without a
+    full-histogram collect: per-batch partial counts -> token-hash
+    buckets (each token's total is exact in its one bucket) -> per-bucket
+    top-k -> a k x n_buckets driver merge. The driver never sees the
+    vocabulary, only n_buckets candidate lists of k rows; correctness is
+    unconditional because a global top-k member is by definition in its
+    own bucket's top-k. Ties rank lexicographically (both engines)."""
+    from ..stages.aggregates import bucketed_group_agg, partials_to_driver
+
+    k = 20
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode_count(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.text.str.split(" ").explode()
+        g = toks.groupby(toks).size()
+        return pd.DataFrame({"tok": g.index, "partial": g.values})
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)["partial"].sum().rename(
+            columns={"partial": "n"}
+        )
+        return g.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+
+    cand = bucketed_group_agg(
+        ds.map_batches(explode_count, batch_format="pandas"), ["tok"], bucket_topk
+    )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            p.sort_values(["n", "tok"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        top["n"] = top.n.astype(np.int64)
+        return top
+
+    return partials_to_driver(cand, final)  # bounded: k x n_buckets rows
+
+
 # --- BPE-ish pretokenizer count (text analysis) -------------------------------
 
 # GPT-2-style pretokenizer, restricted to constructs Python re and DuckDB
