@@ -18,15 +18,38 @@ import ray
 import ray.data as rd
 
 
-def _min_k_ids(ds: rd.Dataset, id_col: str, vec_col: str, k: int) -> pd.DataFrame:
-    """The k rows with smallest ids, found streaming: per-batch top-k then
-    a bounded (k x #blocks) driver merge — no sort, no materialization."""
+@ray.remote
+def _km_init_block(tbl, id_col: str, vec_col: str, k: int) -> pd.DataFrame:
+    if tbl.num_rows == 0:
+        return pd.DataFrame({id_col: [], vec_col: []})
+    return tbl.to_pandas().nsmallest(k, id_col)[[id_col, vec_col]]
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.nsmallest(k, id_col)[[id_col, vec_col]]
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    return parts.nsmallest(k, id_col)
+@ray.remote
+def _km_assign_block(tbl, c: np.ndarray, k: int, vec_col: str):
+    """One Lloyd assignment over one block: per-centroid (count, sse,
+    sum-vector) partials. Returns three dense arrays — k rows regardless
+    of block size, so the driver merge is bounded."""
+    d = c.shape[1]
+    if tbl.num_rows == 0:
+        return np.zeros(k, np.int64), np.zeros(k), np.zeros((k, d))
+    b = tbl.to_pandas()
+    x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    a = d2.argmin(axis=1)
+    sse = d2[np.arange(len(a)), a]
+    sums = np.empty((k, d))
+    for j in range(d):
+        sums[:, j] = np.bincount(a, weights=x[:, j], minlength=k)
+    return (
+        np.bincount(a, minlength=k).astype(np.int64),
+        np.bincount(a, weights=sse, minlength=k),
+        sums,
+    )
 
 
 def kmeans_fit(
@@ -40,56 +63,36 @@ def kmeans_fit(
     """Lloyd iterations with deterministic init (the k vectors with the
     smallest ids). Empty clusters keep their previous centroid. Returns
     (centroids (k,d) float64, per-cluster stats DataFrame with columns
-    centroid_id, n, inertia) — stats from one final assignment pass."""
-    # the init pass + every Lloyd iteration re-consumes ds: pin the blocks
-    # once instead of executing the upstream plan n_iter+1 times
-    ds = ds.materialize()
-    init = _min_k_ids(ds, id_col, vec_col, k)
+    centroid_id, n, inertia) — stats from one final assignment pass.
+
+    Iterations run as one task WAVE per pass over the pinned blocks (the
+    same raw-task escape hatch as connected components: an iterative
+    driver loop pays Ray Data's per-execution plan overhead every pass,
+    while a task wave costs milliseconds). Centroids broadcast once per
+    iteration via ``ray.put``; each task returns k dense partial rows, so
+    the driver merge is bounded by k x #blocks regardless of data size."""
+    refs = ds.to_arrow_refs()
+    init = pd.concat(
+        ray.get([_km_init_block.remote(r, id_col, vec_col, k) for r in refs]),
+        ignore_index=True,
+    ).nsmallest(k, id_col)
     centroids = np.stack(init[vec_col].to_numpy()).astype(np.float64)
     k = centroids.shape[0]  # corpus smaller than k
     d = centroids.shape[1]
 
-    def assign_partial(cref):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            c = ray.get(cref)
-            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-            # squared euclidean via the expansion; argmin ties -> lowest id
-            d2 = (
-                (x * x).sum(axis=1)[:, None]
-                - 2.0 * (x @ c.T)
-                + (c * c).sum(axis=1)[None, :]
-            )
-            a = d2.argmin(axis=1)
-            sse = d2[np.arange(len(a)), a]
-            sums = np.empty((k, d))
-            for j in range(d):
-                sums[:, j] = np.bincount(a, weights=x[:, j], minlength=k)
-            n = np.bincount(a, minlength=k)
-            return pd.DataFrame(
-                {
-                    "centroid_id": np.arange(k, dtype=np.int64),
-                    "n": n.astype(np.int64),
-                    "sse": np.bincount(a, weights=sse, minlength=k),
-                    "sums": [row.tobytes() for row in sums],
-                }
-            )
-
-        return f
-
     stats = None
     for _ in range(n_iter):
         cref = ray.put(centroids)
-        parts = ds.map_batches(
-            assign_partial(cref), batch_format="pandas"
-        ).to_pandas()  # bounded: k rows per block
+        parts = ray.get(
+            [_km_assign_block.remote(r, cref, k, vec_col) for r in refs]
+        )
+        n = np.zeros(k, np.int64)
+        sse = np.zeros(k)
         sums = np.zeros((k, d))
-        gb = parts.groupby("centroid_id", sort=True)
-        n = gb["n"].sum().to_numpy()
-        sse = gb["sse"].sum().to_numpy()
-        for cid, grp in gb:
-            sums[cid] = np.stack(
-                [np.frombuffer(s, dtype=np.float64) for s in grp.sums]
-            ).sum(axis=0)
+        for pn, ps, pm in parts:  # deterministic block order
+            n += pn
+            sse += ps
+            sums += pm
         nonempty = n > 0
         centroids = np.where(
             nonempty[:, None], sums / np.maximum(n, 1)[:, None], centroids
