@@ -355,7 +355,10 @@ def cms_token_counts(sf_dir: str):
     from ..stages.aggregates import bucketed_group_agg
     from ..stages.sketches import cms_counts
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    # ds feeds both the exact histogram and the CMS pass — pin once
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).materialize()
 
     def explode_count(b: pd.DataFrame) -> pd.DataFrame:
         toks = b.text.str.split(" ").explode()
@@ -401,7 +404,10 @@ def grouped_quantiles_tdigest(sf_dir: str):
     from ..stages.aggregates import bucketed_group_agg
     from ..stages.sketches import grouped_tdigest_quantiles
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    # ds feeds both the digest pass and the exact pass — pin once
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).materialize()
     est = grouped_tdigest_quantiles(
         ds, "event_type", "value", [0.1, 0.5, 0.9], n_buckets=8
     ).to_pandas()  # 5 keys

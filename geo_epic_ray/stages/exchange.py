@@ -111,7 +111,8 @@ def _coapply_task(fn2, n_left: int, *parts: pa.Table) -> pa.Table:
 
 def _result(tables: list[ray.ObjectRef], empty: pd.DataFrame) -> rd.Dataset:
     if not tables:
-        return rd.from_pandas(empty)
+        # via Arrow: from_pandas drops the schema of a 0-row frame
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
     return rd.from_arrow_refs(tables)
 
 

@@ -1,0 +1,111 @@
+"""Task-based bucket exchange: semantics vs the groupby form."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from geo_epic_ray.stages import exchange
+
+
+def _df(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n).astype(np.int64),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+
+
+def test_group_map_equals_pandas_groupby(ray_session):
+    df = _df(5000)
+    ds = rd.from_pandas(df).repartition(7)
+    parts = exchange.scatter(ds, 8, exchange.hash_bucket_fn("k", 8))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    got = (
+        exchange.group_map(parts, agg, empty)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_map_empty_dataset_returns_template(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=np.int64)}))
+    parts = exchange.scatter(ds, 4, exchange.hash_bucket_fn("k", 4))
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "n": pd.Series([], dtype=np.int64)})
+    out = exchange.group_map(parts, lambda g: g.assign(n=1), empty).to_pandas()
+    assert len(out) == 0 and list(out.columns) == ["k", "n"]
+
+
+def test_cogroup_inner_semantics_and_dtype_preservation(ray_session):
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4], dtype=np.int64),
+                         "a": np.array([10, 20, 30, 40], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 3, 5], dtype=np.int64),
+                          "b": np.array([200, 300, 500], dtype=np.int64)})
+    lp = exchange.scatter(rd.from_pandas(left).repartition(2), 4,
+                          exchange.hash_bucket_fn("k", 4))
+    rp = exchange.scatter(rd.from_pandas(right).repartition(2), 4,
+                          exchange.hash_bucket_fn("k", 4))
+
+    def join2(l, r):
+        m = l.merge(r, on="k", how="inner")
+        # no padded union: both sides must arrive as int64
+        assert m.a.dtype == np.int64 and m.b.dtype == np.int64
+        return m
+
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in ["k", "a", "b"]})
+    got = (
+        exchange.cogroup_map(lp, rp, join2, empty, require="both")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cogroup_require_left_runs_without_right(ray_session):
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int64)})
+    right = pd.DataFrame({"k": pd.Series([], dtype=np.int64)})
+    lp = exchange.scatter(rd.from_pandas(left), 4, exchange.hash_bucket_fn("k", 4))
+    rp = exchange.scatter(rd.from_pandas(right), 4, exchange.hash_bucket_fn("k", 4))
+
+    def f(l, r):
+        assert r is None or len(r) == 0
+        return pd.DataFrame({"k": l.k, "seen": np.int64(1)})
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "seen": pd.Series([], dtype=np.int64)})
+    out = exchange.cogroup_map(lp, rp, f, empty, require="left").to_pandas()
+    assert len(out) == 20
+
+
+def test_scatter_routing_is_total_and_disjoint(ray_session):
+    df = _df(3000, seed=5)
+    ds = rd.from_pandas(df).repartition(5)
+    nb = 6
+    parts = exchange.scatter(ds, nb, exchange.hash_bucket_fn("k", nb))
+    import ray as _ray
+
+    seen = []
+    bucket_fn = exchange.hash_bucket_fn("k", nb)
+    for b, plist in enumerate(parts):
+        for ref in plist:
+            t = _ray.get(ref).to_pandas()
+            assert (bucket_fn(t) == b).all()  # routed to the right bucket
+            seen.append(t)
+    total = pd.concat(seen) if seen else pd.DataFrame(columns=["k", "v"])
+    assert len(total) == len(df)  # every row exactly once
+    pd.testing.assert_frame_equal(
+        total.sort_values(["k", "v"]).reset_index(drop=True),
+        df.sort_values(["k", "v"]).reset_index(drop=True),
+    )
