@@ -669,3 +669,161 @@ def ntile_length_quartiles(sf_dir: str):
         )
 
     return bucketed_group_agg(kd, ["lang", "__rb"], rank, n_buckets=32)
+
+
+# --- end-to-end curation: lang filter -> quality filter -> exact dedup
+# -> sequence packing, one hash-exact oracle --------------------------------
+
+_CUR_SWS = "'the','and','of','to','a','in','is','it','that','for'"
+_CUR_LANG_SQL = {
+    "en": _CUR_SWS,
+    "de": "'der','die','das','und','ist','nicht','ein','mit','zu','auf'",
+    "es": "'el','la','de','que','y','en','un','una','es','por'",
+    "fr": "'le','la','les','de','et','un','une','est','que','pour'",
+}
+_CUR_SCORES = ",".join(
+    f"len(list_filter(ltoks, x -> x IN ({sw}))) * 1.0 / greatest(1, len(ltoks)) AS s_{l}"
+    for l, sw in _CUR_LANG_SQL.items()
+)
+
+_CURATION_SQL = f"""
+WITH t AS (SELECT doc_id, coalesce(text,'') AS txt FROM documents),
+lid AS (
+  SELECT doc_id, txt, length(txt) AS n_chars,
+    regexp_extract_all(lower(substr(txt,1,2000)), '[a-z]+') AS ltoks,
+    length(regexp_replace(substr(txt,1,400), '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk
+  FROM t),
+sc AS (
+  SELECT doc_id, txt, n_chars, len(ltoks) AS n_ltoks,
+    n_cjk*1.0/greatest(1,least(n_chars,400)) AS cjk_ratio, {_CUR_SCORES}
+  FROM lid),
+pred AS (
+  SELECT doc_id, txt,
+    CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+         WHEN n_chars = 0 OR n_ltoks = 0 THEN 'und'
+         WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+    CASE WHEN trim(txt)='' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(txt), '\\s+') END AS wtoks
+  FROM sc),
+qual AS (
+  SELECT doc_id, len(wtoks) AS n_tokens,
+    len(list_filter(wtoks, x -> lower(x) IN ({_CUR_SWS}))) AS stop_hits,
+    trim(regexp_replace(lower(txt), '\\s+', ' ', 'g')) AS norm
+  FROM pred WHERE lang_pred = 'en'),
+filt AS (SELECT * FROM qual WHERE n_tokens BETWEEN 30 AND 500 AND stop_hits >= 2),
+ded AS (SELECT doc_id, n_tokens FROM (
+  SELECT doc_id, n_tokens, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+  FROM filt) WHERE rn = 1)
+SELECT doc_id, n_tokens,
+  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+FROM ded
+"""
+
+
+@register("curation_end_to_end", _CURATION_SQL)
+def curation_end_to_end(sf_dir: str):
+    """The complete curation pipeline a pretraining corpus goes through,
+    as ONE composed distributed flow with a single hash-exact oracle:
+    language-ID gate (en) -> quality gate (token-count band + integer
+    stopword-hit floor — integer predicates, no float-boundary risk) ->
+    exact normalized-text dedup (keep-first by doc_id, norm-hash
+    exchange) -> token-budget sequence packing (two-phase distributed
+    prefix sum, 512-token bins). One fused scan computes every signal;
+    the only all-to-alls are the dedup exchange and the bounded
+    prefix-sum offset fold."""
+    from ..stages import exchange
+    from ..stages.aggregates import bucketed_group_agg, partials_to_driver
+    from ..stages.text import _LANG_STOPWORDS, lang_id_batch
+
+    sw = _LANG_STOPWORDS["en"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fused(b: pd.DataFrame) -> pd.DataFrame:
+        t = b.text.fillna("").reset_index(drop=True)
+        lang = lang_id_batch(t).lang_pred.to_numpy()
+        tokens = t.str.split()
+        n_tokens = tokens.str.len().fillna(0).astype(int).to_numpy()
+        toks = tokens.explode().dropna().str.lower()
+        hits = np.bincount(
+            toks.index.to_numpy(np.int64),
+            weights=toks.isin(sw).to_numpy(),
+            minlength=len(t),
+        ).astype(np.int64)
+        norm = (
+            t.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        ).to_numpy()
+        keep = (lang == "en") & (n_tokens >= 30) & (n_tokens <= 500) & (hits >= 2)
+        return pd.DataFrame(
+            {
+                "doc_id": b.doc_id.to_numpy()[keep],
+                "n_tokens": n_tokens[keep],
+                "norm": norm[keep],
+            }
+        )
+
+    filt = docs.map_batches(fused, batch_format="pandas")
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        g = g[~g.norm.duplicated()]
+        return g[["doc_id", "n_tokens"]]
+
+    def norm_bucket(df: pd.DataFrame) -> np.ndarray:
+        return (
+            pd.util.hash_array(df.norm.to_numpy()).astype(np.uint64)
+            % np.uint64(32)
+        ).astype(np.int64)
+
+    empty = pd.DataFrame(
+        {"doc_id": np.empty(0, np.int64), "n_tokens": np.empty(0, np.int64)}
+    )
+    ded = exchange.group_map(
+        exchange.scatter(filt, 32, norm_bucket), dedup_bucket, empty
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__rb"] = (b.doc_id.to_numpy(np.int64) >> 7).astype(np.int64)
+        return b
+
+    kd = ded.map_batches(keyed, batch_format="pandas").materialize()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("__rb", as_index=False)["n_tokens"].sum()
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        t = p.groupby("__rb", as_index=False)["n_tokens"].sum().sort_values("__rb")
+        t["off"] = t["n_tokens"].cumsum() - t["n_tokens"]
+        return t[["__rb", "off"]].reset_index(drop=True)
+
+    offs = partials_to_driver(kd.map_batches(partial, batch_format="pandas"), fold)
+    off_of = dict(zip(offs["__rb"], offs["off"]))
+
+    def binify(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for rb, sub in g.groupby("__rb", sort=False):
+            sub = sub.sort_values("doc_id", kind="stable")
+            nt = sub.n_tokens.to_numpy(np.int64)
+            excl = off_of[rb] + np.cumsum(nt) - nt
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": sub.doc_id.to_numpy(),
+                        "n_tokens": nt,
+                        "bin": (excl // 512).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "bin": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    return bucketed_group_agg(kd, ["__rb"], binify, n_buckets=32)
