@@ -827,3 +827,88 @@ def curation_end_to_end(sf_dir: str):
         )
 
     return bucketed_group_agg(kd, ["__rb"], binify, n_buckets=32)
+
+
+# --- plain LEFT OUTER join (the remaining join shape): customers with a
+# possibly-empty order history ------------------------------------------------
+
+_LEFT_JOIN_SQL = """
+SELECT c.c_custkey, c.c_nationkey,
+       count(o.o_orderkey) AS n_orders,
+       max(o.o_orderdate) AS last_order
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_nationkey
+"""
+
+
+@register("left_join_order_history", _LEFT_JOIN_SQL)
+def left_join_order_history(sf_dir: str):
+    """LEFT OUTER join via the cogroup exchange (require="left": a bucket
+    with no right rows still runs): per customer, order count (0 when
+    none — SQL count(col) semantics) and last order date (Arrow NULL when
+    none, not NaT-as-value). Orders pre-aggregate per batch BEFORE the
+    exchange, so the shuffle carries one row per (custkey, batch), never
+    the raw order rows."""
+    import pyarrow as pa
+
+    from ..stages import exchange
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def pre_agg(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).agg(
+            n=("o_orderkey", "size"), last=("o_orderdate", "max")
+        )
+        return g
+
+    nb = 16
+    lkey = exchange.hash_bucket_fn("c_custkey", nb)
+    rkey = exchange.hash_bucket_fn("o_custkey", nb)
+
+    def join2(l: pd.DataFrame, r: pd.DataFrame) -> pa.Table:
+        if r is None or not len(r):
+            merged = l.assign(
+                n_orders=np.int64(0),
+                last=pd.Series([pd.NaT] * len(l), dtype="datetime64[us]"),
+            )
+        else:
+            rr = r.groupby("o_custkey", as_index=False).agg(
+                n_orders=("n", "sum"), last=("last", "max")
+            )
+            merged = l.merge(
+                rr, left_on="c_custkey", right_on="o_custkey", how="left"
+            )
+            merged["n_orders"] = merged.n_orders.fillna(0).astype(np.int64)
+        last = merged["last"].to_numpy().astype("datetime64[us]")
+        mask = pd.isna(merged["last"]).to_numpy()
+        return pa.table(
+            {
+                "c_custkey": pa.array(merged.c_custkey.to_numpy()),
+                "c_nationkey": pa.array(merged.c_nationkey.to_numpy()),
+                "n_orders": pa.array(merged.n_orders.to_numpy()),
+                "last_order": pa.array(last, mask=mask),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_nationkey": pd.Series([], dtype=np.int64),
+            "n_orders": pd.Series([], dtype=np.int64),
+            "last_order": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+    return exchange.cogroup_map(
+        exchange.scatter(cust, nb, lkey),
+        exchange.scatter(
+            orders.map_batches(pre_agg, batch_format="pandas"), nb, rkey
+        ),
+        join2,
+        empty,
+        require="left",
+    )

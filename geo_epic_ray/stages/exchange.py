@@ -95,9 +95,17 @@ def _to_df(parts: tuple[pa.Table, ...]) -> pd.DataFrame:
     return tbl.to_pandas()
 
 
+def _to_table(out) -> pa.Table:
+    # kernels may return pandas (common) or an Arrow table directly (e.g.
+    # to emit validity-masked NULL columns)
+    if isinstance(out, pa.Table):
+        return out
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 @ray.remote
 def _apply_task(fn, *parts: pa.Table) -> pa.Table:
-    return pa.Table.from_pandas(fn(_to_df(parts)), preserve_index=False)
+    return _to_table(fn(_to_df(parts)))
 
 
 @ray.remote
@@ -106,7 +114,7 @@ def _coapply_task(fn2, n_left: int, *parts: pa.Table) -> pa.Table:
     right = parts[n_left:]
     ldf = _to_df(left) if left else None
     rdf = _to_df(right) if right else None
-    return pa.Table.from_pandas(fn2(ldf, rdf), preserve_index=False)
+    return _to_table(fn2(ldf, rdf))
 
 
 def _result(tables: list[ray.ObjectRef], empty: pd.DataFrame) -> rd.Dataset:
