@@ -1017,13 +1017,8 @@ def jaccard_adjacent(sf_dir: str):
     empty = pd.DataFrame(
         {"id_a": np.empty(0, np.int64), "jaccard": np.empty(0, float)}
     )
-    return exchange.cogroup_map(
-        exchange.scatter(left, 16, key),
-        exchange.scatter(right, 16, key),
-        join_score,
-        empty,
-        require="both",
-    )
+    lparts, rparts = exchange.scatter_pair(left, key, right, key, 16)
+    return exchange.cogroup_map(lparts, rparts, join_score, empty, require="both")
 
 
 # --- distinct counting: exact (oracle) + HLL sketch --------------------------

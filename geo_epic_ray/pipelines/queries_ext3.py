@@ -71,6 +71,10 @@ def campaign_window_stats(sf_dir: str):
         bucket_width_us=36 * 3600 * 1_000_000,
         point_cols=["value"],
         interval_cols=["ws"],
+        empty_template=pd.DataFrame(
+            {"value": pd.Series([], dtype=float),
+             "ws": pd.Series([], dtype="datetime64[us]")}
+        ),
     )
 
     def agg_partial(b: pd.DataFrame) -> pd.DataFrame:

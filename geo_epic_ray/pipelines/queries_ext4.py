@@ -674,13 +674,11 @@ def ntile_length_quartiles(sf_dir: str):
 # --- end-to-end curation: lang filter -> quality filter -> exact dedup
 # -> sequence packing, one hash-exact oracle --------------------------------
 
-_CUR_SWS = "'the','and','of','to','a','in','is','it','that','for'"
-_CUR_LANG_SQL = {
-    "en": _CUR_SWS,
-    "de": "'der','die','das','und','ist','nicht','ein','mit','zu','auf'",
-    "es": "'el','la','de','que','y','en','un','una','es','por'",
-    "fr": "'le','la','les','de','et','un','une','est','que','pour'",
-}
+# ONE source of truth for the stopword SQL tables: the lang_id_scores
+# oracle's definitions (themselves mirroring stages/text._LANG_STOPWORDS)
+from .queries_ext import _LANG_SW_SQL as _CUR_LANG_SQL  # noqa: E402
+
+_CUR_SWS = _CUR_LANG_SQL["en"]
 _CUR_SCORES = ",".join(
     f"len(list_filter(ltoks, x -> x IN ({sw}))) * 1.0 / greatest(1, len(ltoks)) AS s_{l}"
     for l, sw in _CUR_LANG_SQL.items()
@@ -903,12 +901,11 @@ def left_join_order_history(sf_dir: str):
             "last_order": pd.Series([], dtype="datetime64[us]"),
         }
     )
-    return exchange.cogroup_map(
-        exchange.scatter(cust, nb, lkey),
-        exchange.scatter(
-            orders.map_batches(pre_agg, batch_format="pandas"), nb, rkey
-        ),
-        join2,
-        empty,
-        require="left",
+    cparts, oparts = exchange.scatter_pair(
+        cust,
+        lkey,
+        orders.map_batches(pre_agg, batch_format="pandas"),
+        rkey,
+        nb,
     )
+    return exchange.cogroup_map(cparts, oparts, join2, empty, require="left")

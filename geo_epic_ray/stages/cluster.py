@@ -176,11 +176,17 @@ def semdedup(
             )
             m = len(ids)
             kept = np.zeros(m, dtype=bool)
-            kept_rows = []
-            for i in range(m):  # greedy keep-first; m bounded by cluster size
-                if not kept_rows or (mat[kept_rows] @ mat[i]).max() < threshold:
+            # greedy keep-first over a PREALLOCATED kept-matrix: appending
+            # row i and dotting kept_mat[:nk] @ mat[i] avoids the O(m^2)
+            # per-iteration 2-D row re-gather (the THP-page-fault loop
+            # CLAUDE.md bans on hot buckets)
+            kept_mat = np.empty_like(mat)
+            nk = 0
+            for i in range(m):
+                if nk == 0 or (kept_mat[:nk] @ mat[i]).max() < threshold:
                     kept[i] = True
-                    kept_rows.append(i)
+                    kept_mat[nk] = mat[i]
+                    nk += 1
             out.append(
                 pd.DataFrame(
                     {id_col: ids, "cluster_id": cid, "kept": kept}

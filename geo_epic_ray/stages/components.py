@@ -264,13 +264,7 @@ def blocked_components(
     if threshold <= 0:
         raise ValueError("blocked_components requires threshold > 0")
 
-    def bucket_of(b: pd.DataFrame) -> np.ndarray:
-        h = np.zeros(len(b), dtype=np.uint64)
-        for k in key_cols:
-            h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                b[k].to_numpy()
-            ).astype(np.uint64)
-        return (h % np.uint64(n_buckets)).astype(np.int64)
+    bucket_of = exchange.key_cols_bucket_fn(key_cols, n_buckets)
 
     def label_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):

@@ -17,9 +17,6 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-_P61 = (1 << 61) - 1  # Mersenne prime for universal hashing
-
-
 _SHINGLE_W = None
 
 
@@ -378,6 +375,7 @@ def pair_payload_verify(
     verify_bucket_fn,
     n_buckets: int = 32,
     payload_cols: list[str] | None = None,
+    empty_out: pd.DataFrame | None = None,
 ) -> rd.Dataset:
     """Verify candidate pairs against a per-id payload WITHOUT broadcasting
     the payload: explode each pair into two member rows, cogroup with the
@@ -408,8 +406,7 @@ def pair_payload_verify(
         pcols = [id_col] + list(payload_cols)
         payload = payload.map_batches(lambda b: b[pcols], batch_format="pandas")
     key = exchange.hash_bucket_fn(id_col, n_buckets)
-    mparts = exchange.scatter(members, n_buckets, key)
-    pparts = exchange.scatter(payload, n_buckets, key)
+    mparts, pparts = exchange.scatter_pair(members, key, payload, key, n_buckets)
 
     def join2(mdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         # inner join: a pair member without payload (caller-supplied
@@ -440,7 +437,12 @@ def pair_payload_verify(
     jparts = exchange.scatter(
         joined, n_buckets, lambda df: df["__pb"].to_numpy(dtype=np.int64)
     )
-    return exchange.group_map(jparts, run, verify_bucket_fn(pd.DataFrame()))
+    if empty_out is None:
+        # schema probe: verify_bucket_fn MUST handle a column-less empty
+        # frame (check len before touching columns) — pass empty_out to
+        # opt out of the probe
+        empty_out = verify_bucket_fn(pd.DataFrame())
+    return exchange.group_map(jparts, run, empty_out)
 
 
 def minhash_dedup_pairs(
@@ -899,13 +901,7 @@ def blocked_pair_edges(
     if threshold <= 0:
         raise ValueError("blocked_pair_edges requires threshold > 0")
 
-    def bucket_of(b: pd.DataFrame) -> np.ndarray:
-        h = np.zeros(len(b), dtype=np.uint64)
-        for k in key_cols:
-            h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                b[k].to_numpy()
-            ).astype(np.uint64)
-        return (h % np.uint64(n_buckets)).astype(np.int64)
+    bucket_of = exchange.key_cols_bucket_fn(key_cols, n_buckets)
 
     empty = pd.DataFrame(
         {

@@ -54,6 +54,12 @@ def _scatter_task(tbl: pa.Table, bucket_fn: BucketFn, nb: int):
         # upstream map_groups can emit empty blocks with an empty schema
         return (np.zeros(nb, dtype=np.int64), *(None for _ in range(nb)))
     bk = np.asarray(bucket_fn(tbl.to_pandas()), dtype=np.int64)
+    if bk.size and (bk.min() < 0 or bk.max() >= nb):
+        # a mismatched bucket_fn/n_buckets pair would otherwise drop rows
+        # SILENTLY (searchsorted routes out-of-range ids to no slice)
+        raise ValueError(
+            f"bucket ids outside [0, {nb}): min={bk.min()}, max={bk.max()}"
+        )
     order = np.argsort(bk, kind="stable")
     tbl = tbl.take(order)
     bk = bk[order]
@@ -170,6 +176,44 @@ def hash_bucket_fn(col: str, n_buckets: int, *, salt: int = 0) -> BucketFn:
             + np.uint64(salt)
         ) * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    return f
+
+
+def scatter_pair(
+    ds_a: rd.Dataset,
+    fn_a: BucketFn,
+    ds_b: rd.Dataset,
+    fn_b: BucketFn,
+    n_buckets: int,
+) -> tuple[list[list[ray.ObjectRef]], list[list[ray.ObjectRef]]]:
+    """Scatter two datasets CONCURRENTLY (two driver threads): a cogroup
+    join's sides are independent pipelines, and scattering them
+    sequentially makes the wall time T(a) + T(b) where the old
+    single-plan union form overlapped them — two threads restore
+    ~max(T(a), T(b)). Ray supports concurrent Dataset executions from one
+    driver session."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(scatter, ds_a, n_buckets, fn_a)
+        fb = ex.submit(scatter, ds_b, n_buckets, fn_b)
+        return fa.result(), fb.result()
+
+
+def key_cols_bucket_fn(key_cols: list[str], n_buckets: int) -> BucketFn:
+    """Multi-column bucketer (FNV-combine of per-column pandas hashes) —
+    the ONE definition of the block-key hash every stage that co-partitions
+    on the same key tuple must share (blocked_pair_edges /
+    blocked_components and any future blocking stage)."""
+
+    def f(df: pd.DataFrame) -> np.ndarray:
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in key_cols:
+            h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                df[k].to_numpy()
+            ).astype(np.uint64)
         return (h % np.uint64(n_buckets)).astype(np.int64)
 
     return f

@@ -196,6 +196,7 @@ def range_join(
     interval_cols: list[str],
     n_buckets: int = 32,
     int_dtypes: dict | None = None,
+    empty_template: pd.DataFrame | None = None,
 ) -> rd.Dataset:
     """Big-big interval join: point rows against interval rows with
     ``start <= on < end`` (timestamps compared at microsecond precision),
@@ -260,22 +261,23 @@ def range_join(
         keep = (m["__s"].to_numpy(np.int64) <= t) & (t < m["__e"].to_numpy(np.int64))
         return m[keep][point_cols + interval_cols]
 
-    empty = pd.DataFrame(
-        {c: pd.Series([], dtype=object) for c in point_cols + interval_cols}
+    # a caller-supplied template keeps the all-empty result's schema equal
+    # to the non-empty one (object dtypes would become Arrow null columns)
+    empty = (
+        empty_template
+        if empty_template is not None
+        else pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in point_cols + interval_cols}
+        )
     )
-    return exchange.cogroup_map(
-        exchange.scatter(
-            points.map_batches(tag_points, batch_format="pandas"), n_buckets, key
-        ),
-        exchange.scatter(
-            intervals.map_batches(explode_intervals, batch_format="pandas"),
-            n_buckets,
-            key,
-        ),
-        join2,
-        empty,
-        require="both",
+    pparts, iparts = exchange.scatter_pair(
+        points.map_batches(tag_points, batch_format="pandas"),
+        key,
+        intervals.map_batches(explode_intervals, batch_format="pandas"),
+        key,
+        n_buckets,
     )
+    return exchange.cogroup_map(pparts, iparts, join2, empty, require="both")
 
 
 def asof_join(
