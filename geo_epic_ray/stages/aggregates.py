@@ -60,35 +60,25 @@ def bucketed_group_agg(
     keys: list[str],
     pandas_agg,
     n_buckets: int = 64,
+    empty: pd.DataFrame | None = None,
 ) -> rd.Dataset:
-    """High-cardinality grouped aggregation: shuffle by hash(keys) %
-    n_buckets (a SMALL sort), then run a vectorized pandas groupby inside
-    each bucket. Ray's native groupby pays per-group reduce overhead —
-    ~10s for ~100k tiny groups — while this path's cost is one small
-    shuffle + C-speed groupbys. Exactness unchanged: every row of a key
-    lands in the same bucket.
+    """High-cardinality grouped aggregation: rows route to hash(keys) %
+    n_buckets partitions via the task exchange (stages/exchange.py — the
+    push-shuffle that replaced the per-stage sort cost), then a
+    vectorized pandas groupby runs inside each bucket. Ray's native
+    groupby pays per-group reduce overhead — ~10s for ~100k tiny groups —
+    while this path's cost is one task-wave exchange + C-speed groupbys.
+    Exactness unchanged: every row of a key lands in the same bucket.
 
     ``pandas_agg(df) -> df`` must perform the full groupby-aggregate for
-    the rows it is given.
-    """
+    the rows it is given. ``empty`` supplies the output schema when the
+    INPUT is empty (otherwise an empty input yields a schemaless empty
+    result)."""
+    from . import exchange
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(b), dtype=np.uint64)
-        for k in keys:
-            h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                b[k].to_numpy()
-            ).astype(np.uint64)
-        b = b.copy()
-        b["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
-        return b
-
-    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return pandas_agg(g.drop(columns="__bucket"))
-
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(agg_bucket, batch_format="pandas")
+    parts = exchange.scatter(ds, n_buckets, exchange.key_cols_bucket_fn(keys, n_buckets))
+    return exchange.group_map(
+        parts, pandas_agg, empty if empty is not None else pd.DataFrame()
     )
 
 
