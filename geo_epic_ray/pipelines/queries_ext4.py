@@ -909,3 +909,99 @@ def left_join_order_history(sf_dir: str):
         nb,
     )
     return exchange.cogroup_map(cparts, oparts, join2, empty, require="left")
+
+
+# --- salted hot-key shuffle join --------------------------------------------
+
+_SALTED_JOIN_SQL = """
+SELECT e.event_id, e.event_type, d.cnt AS type_count
+FROM events e JOIN (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+) d USING (event_type)
+"""
+
+
+@register("salted_join_hot_keys", _SALTED_JOIN_SQL)
+def salted_join_hot_keys(sf_dir: str):
+    """Hot-key shuffle join with MEASURED salting (the skew pattern
+    stages/partition.py applies to spatial cells, demonstrated on a plain
+    equi-join): every join key here is hot (5 event types over the whole
+    table), so an unsalted hash join serializes into 5 reducers. One
+    cheap counting pass sizes ceil(count/target) salts per key; the big
+    side salts by event_id % n_salts, the (replicable) dim side
+    replicates once per salt, and the cogroup join runs on (key, salt) —
+    reducer fan-out follows the data, not the key cardinality. Output is
+    integer-only (type counts), hash-exact vs the SQL join."""
+    import pyarrow as pa
+
+    from ..stages import exchange
+    from ..stages.aggregates import partials_to_driver
+
+    target_rows = 2000
+    nb = 32
+    # events feeds the counting pass and the join's big side — pin once
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    ).materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).size()
+
+    counts = partials_to_driver(
+        ev.map_batches(count_partial, batch_format="pandas"),
+        lambda p: p.groupby("event_type", as_index=False)["size"].sum(),
+    )
+    n_salts = {
+        t: max(1, int(np.ceil(c / target_rows)))
+        for t, c in zip(counts.event_type, counts["size"])
+    }
+
+    def salt_big(b: pd.DataFrame) -> pd.DataFrame:
+        ns = b.event_type.map(n_salts).to_numpy(np.int64)
+        b = b.copy()
+        b["__salt"] = (b.event_id.to_numpy(np.int64) % ns).astype(np.int64)
+        return b
+
+    big = ev.map_batches(salt_big, batch_format="pandas")
+
+    dim_rows = []
+    for t, c in zip(counts.event_type, counts["size"]):
+        for s in range(n_salts[t]):
+            dim_rows.append((t, int(s), int(c)))
+    dim = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": [r[0] for r in dim_rows],
+                "__salt": np.array([r[1] for r in dim_rows], dtype=np.int64),
+                "cnt": np.array([r[2] for r in dim_rows], dtype=np.int64),
+            }
+        )
+    )
+
+    def key_of(df: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_array(df.event_type.to_numpy()).astype(np.uint64)
+        h = h * np.uint64(0x9E3779B97F4A7C15) + df["__salt"].to_numpy(
+            np.int64
+        ).view(np.uint64)
+        h ^= h >> np.uint64(29)
+        return (h % np.uint64(nb)).astype(np.int64)
+
+    def join2(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(r, on=["event_type", "__salt"], how="inner")
+        return pd.DataFrame(
+            {
+                "event_id": m.event_id.to_numpy(np.int64),
+                "event_type": m.event_type,
+                "type_count": m.cnt.to_numpy(np.int64),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=str),
+            "type_count": pd.Series([], dtype=np.int64),
+        }
+    )
+    bparts, dparts = exchange.scatter_pair(big, key_of, dim, key_of, nb)
+    return exchange.cogroup_map(bparts, dparts, join2, empty, require="both")
