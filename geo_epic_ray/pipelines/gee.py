@@ -155,7 +155,27 @@ def composite_extract(
         row.update({v: [acc.get(v, np.nan)] for v in all_vars})
         return pd.DataFrame(row)
 
-    merged = u.groupby(date_col).map_groups(fold, batch_format="pandas")
+    from ..stages import exchange
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [fold(sub) for _, sub in g.groupby(date_col, sort=False)],
+            ignore_index=True,
+        )
+
+    def date_bucket(df: pd.DataFrame) -> np.ndarray:
+        return (
+            pd.util.hash_array(df[date_col].to_numpy()).astype(np.uint64)
+            % np.uint64(16)
+        ).astype(np.int64)
+
+    empty = pd.DataFrame(
+        {date_col: pd.Series([], dtype=object),
+         **{v: pd.Series([], dtype=float) for v in all_vars}}
+    )
+    merged = exchange.group_map(
+        exchange.scatter(u, 16, date_bucket), fold_bucket, empty
+    )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

@@ -97,8 +97,12 @@ def scatter(
 
 
 def _to_df(parts: tuple[pa.Table, ...]) -> pd.DataFrame:
-    tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
-    return tbl.to_pandas()
+    if len(parts) == 1:
+        return parts[0].to_pandas()
+    # permissive promotion: a Dataset.union of sides with different column
+    # sets is a legal exchange input (missing columns null-fill, exactly
+    # as the sort-shuffle's pandas concat behaved)
+    return pa.concat_tables(parts, promote_options="permissive").to_pandas()
 
 
 def _to_table(out) -> pa.Table:
