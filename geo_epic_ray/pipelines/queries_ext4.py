@@ -794,6 +794,11 @@ def curation_end_to_end(sf_dir: str):
         return b.groupby("__rb", as_index=False)["n_tokens"].sum()
 
     def fold(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):  # every doc filtered out: empty (schemaless) partials
+            return pd.DataFrame(
+                {"__rb": pd.Series([], dtype=np.int64),
+                 "off": pd.Series([], dtype=np.int64)}
+            )
         t = p.groupby("__rb", as_index=False)["n_tokens"].sum().sort_values("__rb")
         t["off"] = t["n_tokens"].cumsum() - t["n_tokens"]
         return t[["__rb", "off"]].reset_index(drop=True)
@@ -824,7 +829,14 @@ def curation_end_to_end(sf_dir: str):
             }
         )
 
-    return bucketed_group_agg(kd, ["__rb"], binify, n_buckets=32)
+    return bucketed_group_agg(
+        kd, ["__rb"], binify, n_buckets=32,
+        empty=pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "n_tokens": pd.Series([], dtype=np.int64),
+             "bin": pd.Series([], dtype=np.int64)}
+        ),
+    )
 
 
 # --- plain LEFT OUTER join (the remaining join shape): customers with a
