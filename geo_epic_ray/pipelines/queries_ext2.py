@@ -604,3 +604,62 @@ def incremental_dedup_new(sf_dir: str):
         both.groupby("__bucket").map_groups(anti, batch_format="pandas")
     )
     return novel_fast.select_columns(["doc_id"]).union(rescued)
+
+
+@register("pagerank_canonical")
+def pagerank_canonical(sf_dir: str):
+    """Centrality-based canonical-document selection: PageRank over the
+    blocked near-dup graph (stages/components.py pagerank — BSP task
+    waves, adjacency built once per bucket), cogrouped with the cluster
+    labels, then one grouped argmax picks each cluster's most-central
+    member (tie -> min doc_id). The keep-one alternative to min-id
+    canonicalization: the highest-rank member is the one most similar to
+    the rest of its cluster. Iterative float scores -> rows-only;
+    power-iteration exactness is locked in tests/test_components.py."""
+    from ..stages import exchange
+    from ..stages.components import blocked_components, pagerank
+    from ..stages.dedup import blocked_pair_edges
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    ).materialize()
+    edges = blocked_pair_edges(
+        docs, ["n_chars", "lang"], "doc_id", "text", threshold=0.2
+    ).materialize()  # feeds pagerank AND the labeling
+    pr = pagerank(edges, node_col="doc_id", n_iter=15)
+    labels = blocked_components(
+        docs, ["n_chars", "lang"], "doc_id", "text", threshold=0.2
+    )
+
+    nb = 16
+    key = exchange.hash_bucket_fn("doc_id", nb)
+
+    def join2(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # left = labels (every doc), right = ranks (endpoints only):
+        # isolated docs rank 0 and are trivially canonical
+        m = l.merge(r, on="doc_id", how="left")
+        m["rank"] = m["rank"].fillna(0.0).round(6)
+        return m
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "component": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=float),
+        }
+    )
+    lparts, rparts = exchange.scatter_pair(labels, key, pr, key, nb)
+    joined = exchange.cogroup_map(lparts, rparts, join2, empty, require="left")
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["component", "rank", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        first = ~g.component.duplicated()
+        g = g.assign(canonical=first)
+        return g
+
+    from ..stages.aggregates import bucketed_group_agg
+
+    out = bucketed_group_agg(joined, ["component"], canon, n_buckets=nb)
+    # sanity: exactly one canonical per component
+    return out

@@ -137,3 +137,51 @@ def test_blocked_pair_edges_matches_bruteforce(ray_session):
     for (a, b, j), (_, row) in zip(want, got.iterrows()):
         assert (row.id_a, row.id_b) == (a, b)
         assert row.jaccard == j
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    from geo_epic_ray.stages.components import pagerank
+
+    rng = np.random.default_rng(23)
+    n = 120
+    a = rng.integers(0, n, 400)
+    b = rng.integers(0, n, 400)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    e = rd.from_pandas(
+        pd.DataFrame({"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)})
+    ).repartition(4)
+    got = pagerank(e, n_iter=15, n_buckets=4).to_pandas()
+    got = dict(zip(got.node, got["rank"]))
+
+    # numpy twin: undirected, deduped adjacency; same damped update
+    pairs = set()
+    for x, y in zip(a.tolist(), b.tolist()):
+        pairs.add((x, y))
+        pairs.add((y, x))
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    deg = np.zeros(m)
+    for x, _ in pairs:
+        deg[idx[x]] += 1
+    r = np.full(m, 1.0 / m)
+    for _ in range(15):
+        nxt = np.full(m, 0.15 / m)
+        for x, y in pairs:
+            nxt[idx[y]] += 0.85 * r[idx[x]] / deg[idx[x]]
+        r = nxt
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_pagerank_empty_edges(ray_session):
+    from geo_epic_ray.stages.components import pagerank
+
+    e = rd.from_pandas(
+        pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                      "id_b": pd.Series([], dtype=np.int64)})
+    )
+    out = pagerank(e, n_buckets=4).to_pandas()
+    assert len(out) == 0
