@@ -293,51 +293,54 @@ def asof_join(
 ) -> rd.Dataset:
     """As-of join: for each left row, the latest right row of the same
     ``by`` key with ``on`` <= left's ``on`` (the guide's pattern: bucket
-    by key, pandas merge_asof per bucket). Both sides shuffle once on the
-    key hash; within a bucket merge_asof is a sorted vectorized pass.
+    by key, pandas merge_asof per bucket). Both sides move through one
+    cogroup task exchange on the key hash — each side keeps its own
+    dtypes, so the padded-union int-to-float64 degradation cannot occur —
+    and within a bucket merge_asof is a sorted vectorized pass.
 
-    ``left_cols`` (the left side's full column list) + ``int_dtypes``
-    ({col: numpy int dtype}) skip the ``left.schema()`` derivation, which
-    executes part of the left plan. Pass both or neither."""
+    ``left_cols`` (the left side's full column list) skips the
+    ``left.schema()`` derivation, which executes part of the left plan.
+    ``int_dtypes`` is accepted for API compatibility but no longer
+    needed."""
+    from ..stages import exchange
 
     if left_cols is None:
-        lschema = left.schema()
-        lcols = lschema.names
-        # The union pads each side's missing columns with nulls, which
-        # turns integer columns into float64 once they reach pandas.
-        # Record the original integer dtypes so merge can restore them
-        # (the padded rows are filtered out by __side first, so no NaN
-        # survives the cast).
-        int_dtypes = _int_dtypes_of(lschema)
+        lcols = left.schema().names
     else:
         lcols = list(left_cols)
-        int_dtypes = dict(int_dtypes or {})
     rkeep = [by, on] + right_cols
+    nb = 64
 
-    def tag(side: int, keep: list[str]):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[keep].copy()
-            b["__side"] = side
-            b["__bucket"] = (pd.util.hash_array(b[by].to_numpy()) % 64).astype("int64")
-            return b
+    def key_of(df: pd.DataFrame) -> np.ndarray:
+        return (pd.util.hash_array(df[by].to_numpy()) % nb).astype(np.int64)
 
-        return f
-
-    u = left.map_batches(tag(0, lcols), batch_format="pandas").union(
-        right.map_batches(tag(1, rkeep), batch_format="pandas")
-    )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][lcols].copy()
-        for c, dt in int_dtypes.items():
-            l[c] = l[c].astype(dt)
+    def merge2(l: pd.DataFrame, r: pd.DataFrame | None) -> pd.DataFrame:
         l = l.sort_values(on, kind="stable")
+        if r is None or not len(r):
+            # no right rows in this bucket: typed empty so merge_asof's
+            # key checks pass; value columns come out float64 NaN exactly
+            # as an empty match group would
+            r = pd.DataFrame(
+                {by: pd.Series([], dtype=l[by].dtype),
+                 on: pd.Series([], dtype=l[on].dtype),
+                 **{c: pd.Series([], dtype=float) for c in right_cols}}
+            )
         # secondary sort on the value columns: among equal-`on` right rows
         # merge_asof picks the LAST, so this makes the pick deterministic
         # under shuffle reordering (highest value wins).
-        r = g[g["__side"] == 1][rkeep].sort_values([on] + right_cols, kind="stable")
+        r = r.sort_values([on] + right_cols, kind="stable")
         r = r.rename(columns={c: c + suffix for c in right_cols})
-        out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
-        return out
+        return pd.merge_asof(l, r, on=on, by=by, direction="backward")
 
-    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    empty = pd.DataFrame(
+        {**{c: pd.Series([], dtype=object) for c in lcols},
+         **{c + suffix: pd.Series([], dtype=object) for c in right_cols}}
+    )
+    lparts, rparts = exchange.scatter_pair(
+        left.map_batches(lambda b: b[lcols], batch_format="pandas"),
+        key_of,
+        right.map_batches(lambda b: b[rkeep], batch_format="pandas"),
+        key_of,
+        nb,
+    )
+    return exchange.cogroup_map(lparts, rparts, merge2, empty, require="left")
