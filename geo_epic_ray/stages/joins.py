@@ -93,26 +93,6 @@ def outer_merge_mean(a: pd.DataFrame, b: pd.DataFrame, on: str = "Date") -> pd.D
     return merged.sort_values(on).reset_index(drop=True)
 
 
-def _int_dtypes_of(*schemas) -> dict:
-    """name -> numpy integer dtype for every integer column across the
-    given Ray schemas. Handles both Arrow-block schemas (pyarrow types)
-    and pandas-block schemas (numpy dtypes)."""
-    out = {}
-    for sch in schemas:
-        for name, t in zip(sch.names, sch.types):
-            if isinstance(t, pa.DataType):
-                if pa.types.is_integer(t):
-                    out[name] = t.to_pandas_dtype()
-            else:
-                try:
-                    dt = np.dtype(t)
-                except TypeError:
-                    continue
-                if np.issubdtype(dt, np.integer):
-                    out[name] = dt
-    return out
-
-
 def bucket_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -125,16 +105,17 @@ def bucket_join(
     int_dtypes: dict | None = None,
 ) -> rd.Dataset:
     """Partitioned hash join for two LARGE sides (the guide's portable
-    pattern): tag each side, bucket by hash(key) % n_buckets, union, then
-    join matching buckets pairwise inside map_groups. Use BroadcastJoin
-    when one side fits in memory — this path exists for the big-big case
-    and costs a full shuffle of both sides.
+    pattern): each side scatters to hash(key) % n_buckets partitions via
+    the cogroup task exchange, and matching buckets merge pairwise with
+    native dtypes on both sides. Use BroadcastJoin when one side fits in
+    memory — this path exists for the big-big case and costs a full
+    exchange of both sides.
 
-    ``left_cols``/``right_cols`` (each side's non-key columns) and
-    ``int_dtypes`` ({col: numpy int dtype} to restore after the padded
-    union) can be passed when known: ``Dataset.schema()`` on a side whose
-    plan ends in a shuffle EXECUTES that shuffle, so deriving them here
-    would run the upstream pipeline twice. Pass all three or none.
+    ``left_cols``/``right_cols`` (each side's non-key columns) can be
+    passed when known: ``Dataset.schema()`` on a side whose plan ends in
+    a shuffle EXECUTES that shuffle, so deriving them here would run the
+    upstream pipeline twice. ``int_dtypes`` is accepted for API
+    compatibility but unused — the exchange never pads columns.
 
     Skew note: salt hot keys into sub-buckets upstream (see
     stages/partition.py) before calling when the key histogram is heavy.
@@ -144,44 +125,41 @@ def bucket_join(
         lschema, rschema = left.schema(), right.schema()
         lcols = [c for c in lschema.names if c != on]
         rcols = [c for c in rschema.names if c != on]
-        # The union pads each side's missing columns with nulls -> integer
-        # columns arrive in pandas as float64; restore the declared dtypes
-        # after the side split (each side's own rows carry no NaN).
-        int_dtypes = _int_dtypes_of(lschema, rschema)
     else:
         lcols, rcols = list(left_cols), list(right_cols)
-        int_dtypes = dict(int_dtypes or {})
     if set(lcols) & set(rcols):
         raise ValueError("bucket_join sides must have disjoint non-key columns")
 
-    def tag(side: int, pad_cols: list[str]):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            for c in pad_cols:  # union needs one schema across both sides
-                b[c] = np.nan
-            b["__side"] = side
-            b["__bucket"] = (
-                pd.util.hash_array(b[on].to_numpy()) % n_buckets
-            ).astype("int64")
-            return b[[on] + lcols + rcols + ["__side", "__bucket"]]
+    from ..stages import exchange
 
-        return f
+    def key_of(df: pd.DataFrame) -> np.ndarray:
+        return (pd.util.hash_array(df[on].to_numpy()) % n_buckets).astype(
+            np.int64
+        )
 
-    u = left.map_batches(tag(0, rcols), batch_format="pandas").union(
-        right.map_batches(tag(1, lcols), batch_format="pandas")
-    )
+    require = "both" if how == "inner" else "left"
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][[on] + lcols].copy()
-        r = g[g["__side"] == 1][[on] + rcols].copy()
-        for c, dt in int_dtypes.items():
-            if c in l.columns and l[c].dtype != dt:
-                l[c] = l[c].astype(dt)
-            if c in r.columns and r[c].dtype != dt:
-                r[c] = r[c].astype(dt)
+    def join2(l: pd.DataFrame, r: pd.DataFrame | None) -> pd.DataFrame:
+        if r is None:
+            r = pd.DataFrame(
+                {on: pd.Series([], dtype=l[on].dtype),
+                 **{c: pd.Series([], dtype=float) for c in rcols}}
+            )
         return l.merge(r, on=on, how=how)
 
-    return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype=object) for c in [on] + lcols + rcols}
+    )
+    lparts, rparts = exchange.scatter_pair(
+        left.map_batches(lambda b: b[[on] + lcols], batch_format="pandas"),
+        key_of,
+        right.map_batches(lambda b: b[[on] + rcols], batch_format="pandas"),
+        key_of,
+        n_buckets,
+    )
+    # cogroup exchange: each side keeps its dtypes, so int_dtypes
+    # restoration (the padded-union wart) is unnecessary by construction
+    return exchange.cogroup_map(lparts, rparts, join2, empty, require=require)
 
 
 def range_join(
