@@ -1017,3 +1017,71 @@ def salted_join_hot_keys(sf_dir: str):
     )
     bparts, dparts = exchange.scatter_pair(big, key_of, dim, key_of, nb)
     return exchange.cogroup_map(bparts, dparts, join2, empty, require="both")
+
+
+# --- staged funnel analysis (view -> click -> purchase) ----------------------
+
+_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+
+@register("funnel_stage_times", _FUNNEL_SQL)
+def funnel_stage_times(sf_dir: str):
+    """Staged funnel (view -> click -> purchase) per user: the earliest
+    view, the first click strictly after it, the first purchase strictly
+    after that — the sessionized conversion-analysis shape. One
+    hash-bucketed shuffle by user; inside a bucket each stage is a
+    vectorized conditional grouped min (no per-user Python). Unreached
+    stages emit Arrow NULL, matching the SQL LEFT JOIN chain."""
+    import pyarrow as pa
+
+    from ..stages.aggregates import bucketed_group_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def funnel(g: pd.DataFrame) -> pa.Table:
+        users = np.sort(g.user_id.unique())
+        idx = pd.Series(np.arange(users.size), index=users)
+
+        def stage_min(mask: np.ndarray, after: np.ndarray | None) -> np.ndarray:
+            sub = g[mask]
+            if after is not None:
+                lim = after[idx[sub.user_id].to_numpy()]
+                ok = ~np.isnat(lim) & (sub.ts.to_numpy() > lim)
+                sub = sub[ok]
+            m = sub.groupby("user_id").ts.min()
+            out = np.full(users.size, np.datetime64("NaT", "us"))
+            out[idx[m.index].to_numpy()] = m.to_numpy().astype("datetime64[us]")
+            return out
+
+        t1 = stage_min((g.event_type == "view").to_numpy(), None)
+        t2 = stage_min((g.event_type == "click").to_numpy(), t1)
+        t3 = stage_min((g.event_type == "purchase").to_numpy(), t2)
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "t_view": pa.array(t1, mask=np.isnat(t1)),
+                "t_click": pa.array(t2, mask=np.isnat(t2)),
+                "t_purchase": pa.array(t3, mask=np.isnat(t3)),
+            }
+        )
+
+    return bucketed_group_agg(ds, ["user_id"], funnel, n_buckets=32)

@@ -96,3 +96,35 @@ def test_curation_dedup_spans_batches(ray_session, tmp_path):
     assert set(out.doc_id) <= set(keep_first)
     # bins are a non-decreasing prefix-sum partition in doc_id order
     assert (np.diff(out.bin.to_numpy()) >= 0).all()
+
+
+def test_funnel_null_stages_and_strict_ordering(ray_session, tmp_path):
+    """Funnel edge cases the dense gate tables never hit: a user who
+    clicks BEFORE their first view (click must not count), a user who
+    never purchases, and a user with no view at all."""
+    rows = [
+        # user 1: click@t0 (before view) must be ignored; click@t2 counts
+        (1, "click", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-01 00:01:00"),
+        (1, "click", "2024-01-01 00:02:00"),
+        (1, "purchase", "2024-01-01 00:03:00"),
+        # user 2: view then click, never purchases
+        (2, "view", "2024-01-01 01:00:00"),
+        (2, "click", "2024-01-01 01:05:00"),
+        # user 3: purchases without ever viewing -> all stages NULL but t_view
+        (3, "purchase", "2024-01-01 02:00:00"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df.ts)
+    df["user_id"] = df.user_id.astype(np.int64)
+    _write(tmp_path, "events", df)
+    out = QUERIES["funnel_stage_times"](str(tmp_path))
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    got = {r["user_id"]: r for r in tbl.to_pylist()}
+    assert str(got[1]["t_view"]).startswith("2024-01-01 00:01")
+    assert str(got[1]["t_click"]).startswith("2024-01-01 00:02")  # not 00:00
+    assert str(got[1]["t_purchase"]).startswith("2024-01-01 00:03")
+    assert got[2]["t_purchase"] is None and got[2]["t_click"] is not None
+    assert got[3]["t_view"] is None and got[3]["t_click"] is None
