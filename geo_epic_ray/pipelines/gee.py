@@ -163,11 +163,7 @@ def composite_extract(
             ignore_index=True,
         )
 
-    def date_bucket(df: pd.DataFrame) -> np.ndarray:
-        return (
-            pd.util.hash_array(df[date_col].to_numpy()).astype(np.uint64)
-            % np.uint64(16)
-        ).astype(np.int64)
+    date_bucket = exchange.key_cols_bucket_fn([date_col], 16)
 
     empty = pd.DataFrame(
         {date_col: pd.Series([], dtype=object),

@@ -617,28 +617,38 @@ def pagerank_canonical(sf_dir: str):
     the rest of its cluster. Iterative float scores -> rows-only;
     power-iteration exactness is locked in tests/test_components.py."""
     from ..stages import exchange
-    from ..stages.components import blocked_components, pagerank
+    from ..stages.components import connected_components, pagerank
     from ..stages.dedup import blocked_pair_edges
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     ).materialize()
+    # the expensive shingle/Jaccard edge kernel runs ONCE: the
+    # materialized edges feed pagerank AND the component labeling
     edges = blocked_pair_edges(
         docs, ["n_chars", "lang"], "doc_id", "text", threshold=0.2
-    ).materialize()  # feeds pagerank AND the labeling
+    ).materialize()
     pr = pagerank(edges, node_col="doc_id", n_iter=15)
-    labels = blocked_components(
-        docs, ["n_chars", "lang"], "doc_id", "text", threshold=0.2
+    nodes = docs.select_columns(["doc_id"]).map_batches(
+        lambda b: pd.DataFrame({"id_a": b.doc_id}), batch_format="pandas"
+    )
+    labels = connected_components(
+        edges.select_columns(["id_a", "id_b"]), nodes,
+        node_col="doc_id", label_col="component",
     )
 
     nb = 16
     key = exchange.hash_bucket_fn("doc_id", nb)
 
-    def join2(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        # left = labels (every doc), right = ranks (endpoints only):
-        # isolated docs rank 0 and are trivially canonical
-        m = l.merge(r, on="doc_id", how="left")
-        m["rank"] = m["rank"].fillna(0.0).round(6)
+    def join2(l: pd.DataFrame, r: pd.DataFrame | None) -> pd.DataFrame:
+        # left = labels (every doc), right = ranks (endpoints only): a
+        # bucket may hold ONLY isolated docs (r is None) — they rank 0
+        # and are trivially canonical
+        if r is None:
+            m = l.assign(rank=0.0)
+        else:
+            m = l.merge(r, on="doc_id", how="left")
+            m["rank"] = m["rank"].fillna(0.0).round(6)
         return m
 
     empty = pd.DataFrame(

@@ -376,16 +376,19 @@ def _pr_round(prep, rank: np.ndarray, n_buckets: int):
     rank/degree along its edges; contributions route by hash(dst)."""
     ids, deg, dst, offsets = prep
     if not ids.size:
-        empty = np.empty((2, 0), dtype=np.float64)
-        return tuple(empty for _ in range(n_buckets))
+        return tuple(
+            (np.empty(0, np.int64), np.empty(0, np.float64))
+            for _ in range(n_buckets)
+        )
     contrib = np.repeat(rank / deg, np.diff(offsets))
     bk = _bucket_of(dst, n_buckets)
     order = np.argsort(bk, kind="stable")
     d, c, bk = dst[order], contrib[order], bk[order]
     bounds = np.searchsorted(bk, np.arange(n_buckets + 1))
+    # ids stay int64 (packing them into the float contribution array
+    # would corrupt node ids above 2^53 — e.g. hashed doc ids)
     return tuple(
-        np.stack([d[s:e].astype(np.float64), c[s:e]])
-        for s, e in zip(bounds[:-1], bounds[1:])
+        (d[s:e], c[s:e]) for s, e in zip(bounds[:-1], bounds[1:])
     )
 
 
@@ -395,10 +398,10 @@ def _pr_gather(prep, damping: float, n_nodes: int, *parts: np.ndarray):
     the damped update. Returns the new rank vector aligned to prep's ids."""
     ids = prep[0]
     acc = np.zeros(ids.size, dtype=np.float64)
-    for p in parts:
-        if p.size:
-            idx = np.searchsorted(ids, p[0].astype(np.int64))
-            np.add.at(acc, idx, p[1])
+    for dst, contrib in parts:
+        if dst.size:
+            idx = np.searchsorted(ids, dst)
+            np.add.at(acc, idx, contrib)
     return (1.0 - damping) / n_nodes + damping * acc
 
 

@@ -158,12 +158,14 @@ def cogroup_map(
     union-pads-ints-to-float64 failure mode cannot occur). ``fn2`` gets
     (left_df | None, right_df | None). ``require``: "both" skips buckets
     missing either side (inner join), "left" needs only the left side
-    (left/anti shapes), "any" runs on either."""
+    (left/anti shapes), "right" only the right, "any" runs on either."""
     tables = []
     for pl, pr in zip(parts_left, parts_right):
         if require == "both" and not (pl and pr):
             continue
         if require == "left" and not pl:
+            continue
+        if require == "right" and not pr:
             continue
         if not pl and not pr:
             continue

@@ -132,20 +132,34 @@ def bucket_join(
 
     from ..stages import exchange
 
-    def key_of(df: pd.DataFrame) -> np.ndarray:
-        return (pd.util.hash_array(df[on].to_numpy()) % n_buckets).astype(
-            np.int64
+    key_of = exchange.key_cols_bucket_fn([on], n_buckets)
+    require = {"inner": "both", "left": "left", "right": "right"}.get(how, "any")
+    nullable = []  # columns that can carry NaN for unmatched rows
+    if how in ("left", "outer"):
+        nullable += rcols
+    if how in ("right", "outer"):
+        nullable += lcols
+
+    def _typed_empty(cols: list[str], key_dtype) -> pd.DataFrame:
+        return pd.DataFrame(
+            {on: pd.Series([], dtype=key_dtype),
+             **{c: pd.Series([], dtype=float) for c in cols}}
         )
 
-    require = "both" if how == "inner" else "left"
-
-    def join2(l: pd.DataFrame, r: pd.DataFrame | None) -> pd.DataFrame:
+    def join2(l: pd.DataFrame | None, r: pd.DataFrame | None) -> pd.DataFrame:
+        if l is None:
+            l = _typed_empty(lcols, r[on].dtype)
         if r is None:
-            r = pd.DataFrame(
-                {on: pd.Series([], dtype=l[on].dtype),
-                 **{c: pd.Series([], dtype=float) for c in rcols}}
-            )
-        return l.merge(r, on=on, how=how)
+            r = _typed_empty(rcols, l[on].dtype)
+        m = l.merge(r, on=on, how=how)
+        # uniform output schema across buckets: a nullable side's integer
+        # columns become float64 EVERYWHERE, not only in buckets that
+        # happened to have unmatched rows (per-bucket dtype divergence
+        # would make the result's schema depend on bucket composition)
+        for c in nullable:
+            if c in m.columns and pd.api.types.is_integer_dtype(m[c]):
+                m[c] = m[c].astype(float)
+        return m
 
     empty = pd.DataFrame(
         {c: pd.Series([], dtype=object) for c in [on] + lcols + rcols}
@@ -157,8 +171,8 @@ def bucket_join(
         key_of,
         n_buckets,
     )
-    # cogroup exchange: each side keeps its dtypes, so int_dtypes
-    # restoration (the padded-union wart) is unnecessary by construction
+    # cogroup exchange: each side keeps its dtypes on the inner path, so
+    # int_dtypes restoration (the padded-union wart) is unnecessary
     return exchange.cogroup_map(lparts, rparts, join2, empty, require=require)
 
 
@@ -288,9 +302,7 @@ def asof_join(
         lcols = list(left_cols)
     rkeep = [by, on] + right_cols
     nb = 64
-
-    def key_of(df: pd.DataFrame) -> np.ndarray:
-        return (pd.util.hash_array(df[by].to_numpy()) % nb).astype(np.int64)
+    key_of = exchange.key_cols_bucket_fn([by], nb)
 
     def merge2(l: pd.DataFrame, r: pd.DataFrame | None) -> pd.DataFrame:
         l = l.sort_values(on, kind="stable")
@@ -308,7 +320,15 @@ def asof_join(
         # under shuffle reordering (highest value wins).
         r = r.sort_values([on] + right_cols, kind="stable")
         r = r.rename(columns={c: c + suffix for c in right_cols})
-        return pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        m = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        # uniform schema across buckets: asof value columns are nullable,
+        # so integer right columns become float64 everywhere — not only in
+        # buckets that happened to contain an unmatched left row
+        for c in right_cols:
+            sc = c + suffix
+            if pd.api.types.is_integer_dtype(m[sc]):
+                m[sc] = m[sc].astype(float)
+        return m
 
     empty = pd.DataFrame(
         {**{c: pd.Series([], dtype=object) for c in lcols},

@@ -111,3 +111,22 @@ def test_scatter_routing_is_total_and_disjoint(ray_session):
         total.sort_values(["k", "v"]).reset_index(drop=True),
         df.sort_values(["k", "v"]).reset_index(drop=True),
     )
+
+
+def test_bucket_join_outer_and_right_keep_unmatched_rows(ray_session):
+    from geo_epic_ray.stages.joins import bucket_join
+
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "a": np.array([10, 20], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 3], dtype=np.int64),
+                          "b": np.array([200, 300], dtype=np.int64)})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    for how, want_keys in [("inner", {2}), ("left", {1, 2}),
+                           ("right", {2, 3}), ("outer", {1, 2, 3})]:
+        got = bucket_join(lds, rds, "k", n_buckets=4, how=how).to_pandas()
+        assert set(got.k) == want_keys, how
+        # nullable-side integer columns are float64 in EVERY bucket
+        if how in ("left", "outer"):
+            assert got.b.dtype == np.float64, how
+        if how in ("right", "outer"):
+            assert got.a.dtype == np.float64, how

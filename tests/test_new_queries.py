@@ -128,3 +128,27 @@ def test_funnel_null_stages_and_strict_ordering(ray_session, tmp_path):
     assert str(got[1]["t_purchase"]).startswith("2024-01-01 00:03")
     assert got[2]["t_purchase"] is None and got[2]["t_click"] is not None
     assert got[3]["t_view"] is None and got[3]["t_click"] is None
+
+
+def test_pagerank_canonical_all_isolated_docs(ray_session, tmp_path):
+    """A corpus with no near-duplicates: every rank bucket is empty
+    (r=None in the cogroup), every doc is its own canonical cluster."""
+    rng = np.random.default_rng(31)
+    # genuinely dissimilar texts: independent random letter soup per doc
+    # (no shared template, so char-5-gram Jaccard ~ 0), one shared block key
+    texts = [
+        "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), 60)) for _ in range(30)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * 30,
+            "n_chars": np.full(30, 60, dtype=np.int64),
+        }
+    )
+    _write(tmp_path, "documents", df)
+    out = QUERIES["pagerank_canonical"](str(tmp_path)).to_pandas()
+    assert len(out) == 30
+    assert out.canonical.all()  # every doc canonical in its own cluster
+    assert (out.component.to_numpy() == out.doc_id.to_numpy()).all()
