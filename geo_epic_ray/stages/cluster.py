@@ -72,10 +72,21 @@ def kmeans_fit(
     iteration via ``ray.put``; each task returns k dense partial rows, so
     the driver merge is bounded by k x #blocks regardless of data size."""
     refs = ds.to_arrow_refs()
-    init = pd.concat(
-        ray.get([_km_init_block.remote(r, id_col, vec_col, k) for r in refs]),
-        ignore_index=True,
-    ).nsmallest(k, id_col)
+    frames = (
+        [
+            f
+            for f in ray.get(
+                [_km_init_block.remote(r, id_col, vec_col, k) for r in refs]
+            )
+            if len(f)
+        ]
+        if refs
+        else []
+    )
+    if not frames:
+        # pd.concat([]) / np.stack on zero rows would raise obscurely
+        raise ValueError("kmeans_fit: input dataset has no vectors")
+    init = pd.concat(frames, ignore_index=True).nsmallest(k, id_col)
     centroids = np.stack(init[vec_col].to_numpy()).astype(np.float64)
     k = centroids.shape[0]  # corpus smaller than k
     d = centroids.shape[1]
@@ -132,7 +143,19 @@ def semdedup(
     """
     from . import exchange
 
+    empty = pd.DataFrame(
+        {
+            id_col: np.empty(0, np.int64),
+            "cluster_id": np.empty(0, np.int64),
+            "kept": np.empty(0, bool),
+        }
+    )
     ds = ds.materialize()  # consumed by kmeans_fit AND the assignment pass
+    if ds.count() == 0:
+        # kmeans on nothing is a ValueError; semdedup of nothing is nothing
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
     centroids, _ = kmeans_fit(
         ds, k, n_iter, id_col=id_col, vec_col=vec_col
     )
@@ -196,12 +219,5 @@ def semdedup(
 
     parts = exchange.scatter(
         assigned, n_buckets, exchange.hash_bucket_fn("cluster_id", n_buckets)
-    )
-    empty = pd.DataFrame(
-        {
-            id_col: np.empty(0, np.int64),
-            "cluster_id": np.empty(0, np.int64),
-            "kept": np.empty(0, bool),
-        }
     )
     return exchange.group_map(parts, dedup_cluster, empty)

@@ -47,6 +47,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from . import exchange
+
 _H1 = np.uint64(0x9E3779B97F4A7C15)
 _H2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -78,9 +80,10 @@ def _route(node: np.ndarray, cand: np.ndarray, n_buckets: int) -> list[np.ndarra
 
 
 @ray.remote
-def _cc_scatter(tbl: pa.Table, col_a: str, col_b: str, n_buckets: int):
+def _cc_scatter(blk, col_a: str, col_b: str, n_buckets: int):
     """Edge block -> per-bucket (node, cand) message arrays (both
     directions, routed by hash(node))."""
+    tbl = exchange.ensure_arrow(blk)
     if tbl.num_rows == 0 or col_a not in tbl.column_names:
         # upstream map_groups can emit empty blocks with an empty schema
         empty = np.empty((2, 0), dtype=np.int64)
@@ -91,7 +94,8 @@ def _cc_scatter(tbl: pa.Table, col_a: str, col_b: str, n_buckets: int):
 
 
 @ray.remote
-def _cc_scatter_nodes(tbl: pa.Table, col: str, n_buckets: int):
+def _cc_scatter_nodes(blk, col: str, n_buckets: int):
+    tbl = exchange.ensure_arrow(blk)
     if tbl.num_rows == 0 or col not in tbl.column_names:
         empty = np.empty(0, dtype=np.int64)
         return tuple(empty for _ in range(n_buckets))
@@ -195,14 +199,15 @@ def connected_components(
     nb = n_buckets
     # Only EDGE ENDPOINTS propagate through the rounds — isolated nodes
     # would otherwise ride every all-to-all as inert (n, n) rows.
-    blocks = edges.select_columns([id_a, id_b]).to_arrow_refs()
+    # Streaming scatter: edge blocks are consumed as the upstream plan
+    # produces them and freed once routed (no full-dataset pin).
     scattered = [
         _cc_scatter.options(num_returns=nb).remote(ref, id_a, id_b, nb)
-        for ref in blocks
+        for ref in exchange.iter_block_refs(edges.select_columns([id_a, id_b]))
     ]
     parts: list[list] = [
         [s[b] for s in scattered] for b in range(nb)
-    ] if blocks else [[] for _ in range(nb)]
+    ] if scattered else [[] for _ in range(nb)]
 
     label_refs = None
     prev_sigs = None
@@ -219,12 +224,11 @@ def connected_components(
         prev_sigs = sigs
 
     if nodes is not None:
-        nblocks = nodes.select_columns([id_a]).to_arrow_refs()
         nscattered = [
             _cc_scatter_nodes.options(num_returns=nb).remote(ref, id_a, nb)
-            for ref in nblocks
+            for ref in exchange.iter_block_refs(nodes.select_columns([id_a]))
         ]
-        nparts = [[s[b] for s in nscattered] for b in range(nb)] if nblocks else [
+        nparts = [[s[b] for s in nscattered] for b in range(nb)] if nscattered else [
             [] for _ in range(nb)
         ]
     else:
@@ -340,9 +344,10 @@ def union_find_components(edges: list[tuple[int, int]], nodes: list[int]) -> dic
 
 
 @ray.remote
-def _pr_scatter(tbl: pa.Table, col_a: str, col_b: str, n_buckets: int):
+def _pr_scatter(blk, col_a: str, col_b: str, n_buckets: int):
     """Edge block -> per-bucket (src, dst) arrays, BOTH directions
     (undirected graph), routed by hash(src)."""
+    tbl = exchange.ensure_arrow(blk)
     if tbl.num_rows == 0 or col_a not in tbl.column_names:
         empty = np.empty((2, 0), dtype=np.int64)
         return tuple(empty for _ in range(n_buckets))
@@ -432,13 +437,12 @@ def pagerank(
     each iteration moves only (dst, contribution) float pairs. Returns a
     Dataset of (node_col, rank_col); ranks sum to ~1 over endpoints.
     """
-    blocks = edges.select_columns([id_a, id_b]).to_arrow_refs()
     nb = n_buckets
     scattered = [
         _pr_scatter.options(num_returns=nb).remote(r, id_a, id_b, nb)
-        for r in blocks
+        for r in exchange.iter_block_refs(edges.select_columns([id_a, id_b]))
     ]
-    parts = [[s[b] for s in scattered] for b in range(nb)] if blocks else [
+    parts = [[s[b] for s in scattered] for b in range(nb)] if scattered else [
         [] for _ in range(nb)
     ]
     preps = [_pr_prep.remote(b, nb, *parts[b]) for b in range(nb)]

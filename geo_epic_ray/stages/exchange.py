@@ -18,6 +18,14 @@ bucket concatenates its partitions and applies the kernel (`group_map` /
 Scale notes (100-TB posture):
 - identical data movement to a hash shuffle: every row crosses the
   object store exactly once; partitions spill like any other object.
+- ``scatter`` is STREAMING: it consumes the upstream plan's blocks as
+  the streaming executor produces them (``iter_internal_ref_bundles``),
+  submitting one scatter task per block and dropping the driver's ref
+  to the input block immediately — so scatter work overlaps upstream
+  execution and each input block is released as soon as its scatter
+  task finishes. Peak object-store residency is the scattered
+  partitions plus the in-flight input wave, never "full input + full
+  scattered copy" (the round-2 ``to_arrow_refs()`` barrier).
 - ``n_buckets`` plays the reducer-count role — size it to the cluster
   (callers already take it as a parameter).
 - the driver holds O(n_blocks x n_buckets) refs and one small counts
@@ -29,7 +37,12 @@ Scale notes (100-TB posture):
 
 Semantics match the groupby form: `fn` sees each bucket's rows as one
 pandas DataFrame (concatenated in deterministic block order) and returns
-a DataFrame; empty buckets are skipped entirely.
+a DataFrame; empty buckets are skipped entirely. Kernels and bucket fns
+can opt into zero-copy Arrow instead: set ``fn.wants_arrow = True`` to
+receive a ``pa.Table``, and ``fn.needs_cols = [...]`` on a bucket fn to
+have the scatter task prune to those columns before any conversion (the
+factory bucketers below do both — on wide string-heavy blocks the
+whole-block pandas round-trip was the dominant per-stage cost).
 """
 
 from __future__ import annotations
@@ -45,15 +58,39 @@ import ray.data as rd
 BucketFn = Callable[[pd.DataFrame], np.ndarray]
 
 
+def ensure_arrow(blk) -> pa.Table:
+    """Blocks from ``iter_internal_ref_bundles`` may be pandas (an
+    upstream pandas map_batches) — normalize to Arrow once, task-side."""
+    if isinstance(blk, pa.Table):
+        return blk
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(blk).to_arrow()
+
+
+def iter_block_refs(ds: rd.Dataset):
+    """Stream the dataset's block refs as the executor produces them.
+    The caller must submit each ref to a task (or otherwise take a
+    reference) before advancing — this generator drops its own ref."""
+    for bundle in ds.iter_internal_ref_bundles():
+        yield from bundle.block_refs
+
+
 @ray.remote
-def _scatter_task(tbl: pa.Table, bucket_fn: BucketFn, nb: int):
+def _scatter_task(blk, bucket_fn: BucketFn, nb: int):
     """One block -> per-bucket row counts + nb table slices (None when
-    empty). ``bucket_fn`` maps the block's rows (pandas) to int64 bucket
-    ids in [0, nb)."""
+    empty). ``bucket_fn`` maps the block's rows (pandas by default; a
+    column-pruned pa.Table when it sets wants_arrow/needs_cols) to int64
+    bucket ids in [0, nb)."""
+    tbl = ensure_arrow(blk)
     if tbl.num_rows == 0 or tbl.num_columns == 0:
         # upstream map_groups can emit empty blocks with an empty schema
         return (np.zeros(nb, dtype=np.int64), *(None for _ in range(nb)))
-    bk = np.asarray(bucket_fn(tbl.to_pandas()), dtype=np.int64)
+    cols = getattr(bucket_fn, "needs_cols", None)
+    view = tbl.select(cols) if cols else tbl
+    if not getattr(bucket_fn, "wants_arrow", False):
+        view = view.to_pandas()
+    bk = np.asarray(bucket_fn(view), dtype=np.int64)
     if bk.size and (bk.min() < 0 or bk.max() >= nb):
         # a mismatched bucket_fn/n_buckets pair would otherwise drop rows
         # SILENTLY (searchsorted routes out-of-range ids to no slice)
@@ -77,32 +114,43 @@ def _scatter_task(tbl: pa.Table, bucket_fn: BucketFn, nb: int):
 def scatter(
     ds: rd.Dataset, n_buckets: int, bucket_fn: BucketFn
 ) -> list[list[ray.ObjectRef]]:
-    """Execute ``ds`` and split every block into hash buckets. Returns,
-    per bucket, the refs of its non-empty partitions (deterministic block
+    """Split every block of ``ds`` into hash buckets, STREAMING: blocks
+    are consumed as the upstream plan produces them, so scattering
+    overlaps upstream execution and each input block becomes freeable
+    the moment its scatter task completes (the task's dependency ref is
+    the only one left after this loop drops the bundle). Returns, per
+    bucket, the refs of its non-empty partitions (deterministic block
     order). The only driver sync is the per-block counts vector."""
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return [[] for _ in range(n_buckets)]
     scattered = [
         _scatter_task.options(num_returns=n_buckets + 1).remote(
             r, bucket_fn, n_buckets
         )
-        for r in refs
+        for r in iter_block_refs(ds)
     ]
+    if not scattered:
+        return [[] for _ in range(n_buckets)]
     counts = ray.get([s[0] for s in scattered])
     return [
-        [scattered[i][1 + b] for i in range(len(refs)) if counts[i][b] > 0]
+        [scattered[i][1 + b] for i in range(len(scattered)) if counts[i][b] > 0]
         for b in range(n_buckets)
     ]
 
 
-def _to_df(parts: tuple[pa.Table, ...]) -> pd.DataFrame:
+def _concat(parts: tuple[pa.Table, ...]) -> pa.Table:
     if len(parts) == 1:
-        return parts[0].to_pandas()
+        return parts[0]
     # permissive promotion: a Dataset.union of sides with different column
     # sets is a legal exchange input (missing columns null-fill, exactly
     # as the sort-shuffle's pandas concat behaved)
-    return pa.concat_tables(parts, promote_options="permissive").to_pandas()
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
+def _kernel_input(parts: tuple[pa.Table, ...], fn):
+    # kernels receive pandas by default; fn.wants_arrow = True opts into
+    # the concatenated pa.Table zero-copy (filters / projections /
+    # integer aggregations that run on pyarrow.compute)
+    tbl = _concat(parts)
+    return tbl if getattr(fn, "wants_arrow", False) else tbl.to_pandas()
 
 
 def _to_table(out) -> pa.Table:
@@ -115,15 +163,15 @@ def _to_table(out) -> pa.Table:
 
 @ray.remote
 def _apply_task(fn, *parts: pa.Table) -> pa.Table:
-    return _to_table(fn(_to_df(parts)))
+    return _to_table(fn(_kernel_input(parts, fn)))
 
 
 @ray.remote
 def _coapply_task(fn2, n_left: int, *parts: pa.Table) -> pa.Table:
     left = parts[:n_left]
     right = parts[n_left:]
-    ldf = _to_df(left) if left else None
-    rdf = _to_df(right) if right else None
+    ldf = _kernel_input(left, fn2) if left else None
+    rdf = _kernel_input(right, fn2) if right else None
     return _to_table(fn2(ldf, rdf))
 
 
@@ -174,16 +222,20 @@ def cogroup_map(
 
 
 def hash_bucket_fn(col: str, n_buckets: int, *, salt: int = 0) -> BucketFn:
-    """Standard int64-column bucketer: multiply-xorshift of the values."""
+    """Standard int64-column bucketer: multiply-xorshift of the values.
+    Arrow-native — the scatter task prunes the block to the key column
+    and never converts to pandas."""
 
-    def f(df: pd.DataFrame) -> np.ndarray:
+    def f(tbl: pa.Table) -> np.ndarray:
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
         h = (
-            df[col].to_numpy(dtype=np.int64).view(np.uint64)
-            + np.uint64(salt)
+            v.astype(np.int64, copy=False).view(np.uint64) + np.uint64(salt)
         ) * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
         return (h % np.uint64(n_buckets)).astype(np.int64)
 
+    f.wants_arrow = True
+    f.needs_cols = [col]
     return f
 
 
@@ -214,12 +266,18 @@ def key_cols_bucket_fn(key_cols: list[str], n_buckets: int) -> BucketFn:
     on the same key tuple must share (blocked_pair_edges /
     blocked_components and any future blocking stage)."""
 
-    def f(df: pd.DataFrame) -> np.ndarray:
-        h = np.zeros(len(df), dtype=np.uint64)
+    def f(tbl: pa.Table) -> np.ndarray:
+        h = np.zeros(tbl.num_rows, dtype=np.uint64)
         for k in key_cols:
+            # per-column 1-D conversion only of the key columns (the
+            # scatter task prunes via needs_cols); string keys still go
+            # through pandas' hash_array on the object array, numerics
+            # are zero-copy
             h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                df[k].to_numpy()
+                tbl.column(k).to_numpy(zero_copy_only=False)
             ).astype(np.uint64)
         return (h % np.uint64(n_buckets)).astype(np.int64)
 
+    f.wants_arrow = True
+    f.needs_cols = list(key_cols)
     return f

@@ -102,9 +102,10 @@ def test_scatter_routing_is_total_and_disjoint(ray_session):
     bucket_fn = exchange.hash_bucket_fn("k", nb)
     for b, plist in enumerate(parts):
         for ref in plist:
-            t = _ray.get(ref).to_pandas()
-            assert (bucket_fn(t) == b).all()  # routed to the right bucket
-            seen.append(t)
+            tbl = _ray.get(ref)
+            # the factory bucketer is Arrow-native (wants_arrow)
+            assert (bucket_fn(tbl.select(["k"])) == b).all()
+            seen.append(tbl.to_pandas())
     total = pd.concat(seen) if seen else pd.DataFrame(columns=["k", "v"])
     assert len(total) == len(df)  # every row exactly once
     pd.testing.assert_frame_equal(
@@ -130,3 +131,41 @@ def test_bucket_join_outer_and_right_keep_unmatched_rows(ray_session):
             assert got.b.dtype == np.float64, how
         if how in ("right", "outer"):
             assert got.a.dtype == np.float64, how
+
+
+def test_scatter_accepts_pandas_blocks_and_arrow_kernels(ray_session):
+    """Streaming scatter must handle pandas-format upstream blocks
+    (ensure_arrow), pandas custom bucket fns (back-compat), and
+    wants_arrow kernels (zero-copy reduce)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    df = _df(2000, seed=7)
+    # a pandas map_batches upstream yields pandas blocks
+    ds = rd.from_pandas(df).repartition(4).map_batches(
+        lambda b: b, batch_format="pandas"
+    )
+
+    def pandas_bucket(b: pd.DataFrame) -> np.ndarray:
+        return (b["k"].to_numpy() % 5).astype(np.int64)
+
+    parts = exchange.scatter(ds, 5, pandas_bucket)
+
+    def agg(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("k").aggregate([("v", "sum")])
+        return g.rename_columns(["k", "v"])
+
+    agg.wants_arrow = True
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    got = (
+        exchange.group_map(parts, agg, empty)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)["v"].sum()
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
