@@ -337,10 +337,14 @@ def select_dsl_union(sf_dir: str):
 def semi_join_orders(sf_dir: str):
     from ..stages.joins import semi_join
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    keys = cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"]
+    import pyarrow.dataset as pads
+
+    # pushdown row filter: only the BUILDING keys reach the driver (the
+    # broadcast key set), never the customer table
+    keys = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    ).to_pandas()["c_custkey"]
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
     )
@@ -374,8 +378,14 @@ def anti_join_customers(sf_dir: str):
     audit shape (M3/J10, geoEpic/workspace/validate.py:6-21)."""
     from ..stages.joins import anti_join
 
-    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
-    keys = o.loc[o.o_orderpriority == "1-URGENT", "o_custkey"]
+    import pyarrow.dataset as pads
+
+    # pushdown row filter on the FACT table: only urgent-order custkeys
+    # (the broadcast key set) reach the driver
+    keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).to_pandas()["o_custkey"]
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     return anti_join(cust, keys, "c_custkey")
 

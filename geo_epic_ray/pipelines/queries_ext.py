@@ -434,11 +434,19 @@ def bpe_token_count(sf_dir: str):
 )
 def ann_topk_cosine(sf_dir: str):
     """Exact brute-force cosine top-10 neighbors of vec 0 — numpy matmul
-    per batch against the broadcast query, grouped top-k merge."""
+    per batch against the broadcast query, grouped top-k merge. The query
+    vector is fetched via a pushdown row filter (only the one matching
+    row reaches the driver — never a driver-side read of the table)."""
+    import pyarrow.dataset as pads
+
     from ..stages.similarity import ann_topk
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    q = np.stack(emb.loc[emb.vec_id == 0, "embedding"].to_numpy())
+    qrow = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") == 0,
+    ).to_pandas()
+    q = np.stack(qrow.embedding.to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ann_topk(ds, q, k=10, exclude_ids=np.array([0]))
     return out.select_columns(["vec_id", "rank"])
@@ -764,7 +772,10 @@ def three_way_join_revenue(sf_dir: str):
     """Chained broadcast hash joins (orders, customer, nation are all the
     small side vs lineitem) + partial-combined grouped aggregate — the
     reference's component-mapunit-chorizon chained-merge shape
-    (geoEpic/soil/ssurgo_gdb.py:57-72), TPC-H flavored."""
+    (geoEpic/soil/ssurgo_gdb.py:57-72), TPC-H flavored. The driver-built
+    broadcast side is the PATTERN under test (column-pruned dim reads,
+    ray.put once); when the dim side outgrows a worker, bucket_join is
+    the big-big path (salted_join_hot_keys demonstrates it)."""
     orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
@@ -1063,7 +1074,11 @@ def tdigest_value_quantiles(sf_dir: str):
     """t-digest approximate quantiles of the event values with the exact
     answers and relative error alongside (the scale path for
     percentile_profile-style queries at unbounded group size) —
-    approximate by design, so rows-only; accuracy asserted in tests."""
+    approximate by design, so rows-only; accuracy asserted in tests.
+
+    The exact side's driver-local column read is GATE-SCALE-ONLY
+    validation (an exact distributed quantile needs a sort); the operator
+    under test is the t-digest, which never materializes the input."""
     from ..stages.sketches import tdigest_quantiles
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
@@ -1086,9 +1101,24 @@ def hll_distinct_users(sf_dir: str):
     rows-only at the gate; accuracy asserted in tests."""
     from ..stages.sketches import hll_distinct
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    from ..stages.aggregates import bucketed_group_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).materialize()  # dual-consumer: HLL estimate AND the exact side
     est = hll_distinct(ds, "user_id")
-    exact = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).user_id.nunique()
+    # exact distinct with the engine: per-batch distinct pre-combine, then
+    # per-bucket nunique summed (a bucket owns all copies of its users)
+    dedup = ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+    exact = int(
+        bucketed_group_agg(
+            dedup, ["user_id"],
+            lambda g: pd.DataFrame({"n": [g.user_id.nunique()]}),
+            n_buckets=8,
+            empty=pd.DataFrame({"n": pd.Series([], dtype=np.int64)}),
+        ).sum("n")
+        or 0
+    )
     return pd.DataFrame(
         {"estimate": [round(est, 1)], "exact": [exact],
          "rel_err": [round(abs(est - exact) / max(1, exact), 4)]}
@@ -1103,19 +1133,31 @@ def hll_distinct_per_type(sf_dir: str):
     AND per-key value cardinality are both unbounded. Exact answers
     computed alongside (5 keys at gate scale); approximate by design ->
     rows-only, accuracy asserted in tests and visible in the output."""
+    from ..stages.aggregates import bucketed_group_agg
     from ..stages.sketches import hll_grouped_distinct
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
-    )
+    ).materialize()  # dual-consumer: HLL estimate AND the exact side
     est = hll_grouped_distinct(ds, "event_type", "user_id").to_pandas()
-    exact = (
-        pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-        .groupby("event_type")["user_id"]
-        .nunique()
-        .rename("exact")
-        .reset_index()
+    # exact side computed WITH THE ENGINE (distributed nunique via the
+    # bucketed exchange; per-batch distinct pre-combine keeps the shuffle
+    # at one row per (key, value) per batch) — no driver-side corpus read
+    dedup = ds.map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
     )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("event_type")["user_id"].nunique()
+            .rename("exact").reset_index()
+        )
+
+    exact = bucketed_group_agg(
+        dedup, ["event_type"], agg, n_buckets=8,
+        empty=pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                            "exact": pd.Series([], dtype=np.int64)}),
+    ).to_pandas()
     out = est.merge(exact, on="event_type").sort_values("event_type")
     out["estimate"] = out.estimate.round(1)
     out["rel_err"] = (

@@ -211,6 +211,7 @@ def connected_components(
 
     label_refs = None
     prev_sigs = None
+    stable = 0
     for _ in range(max_rounds):
         outs = [
             _cc_round.options(num_returns=nb + 2).remote(b, nb, *parts[b])
@@ -219,8 +220,17 @@ def connected_components(
         sigs = ray.get([o[0] for o in outs])
         label_refs = [o[1] for o in outs]
         parts = [[outs[src][2 + dst] for src in range(nb)] for dst in range(nb)]
+        # require the owned-label signature stable for TWO consecutive
+        # rounds: the signature doesn't capture in-flight transitional
+        # messages, so a single-round plateau before convergence would
+        # otherwise terminate on an unproven fixpoint (one extra
+        # millisecond-scale wave buys termination-implies-fixpoint)
         if sigs == prev_sigs:
-            break
+            stable += 1
+            if stable >= 2:
+                break
+        else:
+            stable = 0
         prev_sigs = sigs
 
     if nodes is not None:

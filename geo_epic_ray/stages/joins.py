@@ -93,6 +93,17 @@ def outer_merge_mean(a: pd.DataFrame, b: pd.DataFrame, on: str = "Date") -> pd.D
     return merged.sort_values(on).reset_index(drop=True)
 
 
+def _pd_dtype(t):
+    """Ray Schema types are pyarrow DataTypes for Arrow blocks but numpy
+    dtypes for pandas blocks (CLAUDE.md) — normalize to a pandas dtype."""
+    if isinstance(t, pa.DataType):
+        try:
+            return t.to_pandas_dtype()
+        except (NotImplementedError, pa.ArrowNotImplementedError):
+            return object
+    return t
+
+
 def bucket_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -102,6 +113,8 @@ def bucket_join(
     how: str = "inner",
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    left_dtypes: dict | None = None,
+    right_dtypes: dict | None = None,
     int_dtypes: dict | None = None,
 ) -> rd.Dataset:
     """Partitioned hash join for two LARGE sides (the guide's portable
@@ -114,17 +127,29 @@ def bucket_join(
     ``left_cols``/``right_cols`` (each side's non-key columns) can be
     passed when known: ``Dataset.schema()`` on a side whose plan ends in
     a shuffle EXECUTES that shuffle, so deriving them here would run the
-    upstream pipeline twice. ``int_dtypes`` is accepted for API
-    compatibility but unused — the exchange never pads columns.
+    upstream pipeline twice. ``left_dtypes``/``right_dtypes`` (pandas
+    dtype per non-key column) type the empty frame a single-sided bucket
+    synthesizes for the MISSING side — without them a missing side's
+    string columns would come out float64 in single-sided buckets but
+    object in mixed ones (per-bucket schema divergence); they are derived
+    from the schema automatically when ``left_cols``/``right_cols`` are
+    not passed. ``int_dtypes`` is accepted for API compatibility but
+    unused — the exchange never pads columns.
 
     Skew note: salt hot keys into sub-buckets upstream (see
     stages/partition.py) before calling when the key histogram is heavy.
     """
 
+    ldt = dict(left_dtypes or {})
+    rdt = dict(right_dtypes or {})
     if left_cols is None or right_cols is None:
         lschema, rschema = left.schema(), right.schema()
         lcols = [c for c in lschema.names if c != on]
         rcols = [c for c in rschema.names if c != on]
+        ldt = {c: _pd_dtype(t) for c, t in zip(lschema.names, lschema.types)}
+        rdt = {c: _pd_dtype(t) for c, t in zip(rschema.names, rschema.types)}
+        ldt.update(left_dtypes or {})
+        rdt.update(right_dtypes or {})
     else:
         lcols, rcols = list(left_cols), list(right_cols)
     if set(lcols) & set(rcols):
@@ -140,17 +165,20 @@ def bucket_join(
     if how in ("right", "outer"):
         nullable += lcols
 
-    def _typed_empty(cols: list[str], key_dtype) -> pd.DataFrame:
+    def _typed_empty(cols: list[str], key_dtype, dtypes: dict) -> pd.DataFrame:
+        # real dtypes where known (string value columns MUST stay object —
+        # a float64 empty would make single-sided buckets' output schema
+        # diverge from mixed buckets'); float is the NaN-capable fallback
         return pd.DataFrame(
             {on: pd.Series([], dtype=key_dtype),
-             **{c: pd.Series([], dtype=float) for c in cols}}
+             **{c: pd.Series([], dtype=dtypes.get(c, float)) for c in cols}}
         )
 
     def join2(l: pd.DataFrame | None, r: pd.DataFrame | None) -> pd.DataFrame:
         if l is None:
-            l = _typed_empty(lcols, r[on].dtype)
+            l = _typed_empty(lcols, r[on].dtype, ldt)
         if r is None:
-            r = _typed_empty(rcols, l[on].dtype)
+            r = _typed_empty(rcols, l[on].dtype, rdt)
         m = l.merge(r, on=on, how=how)
         # uniform output schema across buckets: a nullable side's integer
         # columns become float64 EVERYWHERE, not only in buckets that
@@ -281,6 +309,7 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_asof",
     left_cols: list[str] | None = None,
+    right_dtypes: dict | None = None,
     int_dtypes: dict | None = None,
 ) -> rd.Dataset:
     """As-of join: for each left row, the latest right row of the same
@@ -292,8 +321,11 @@ def asof_join(
 
     ``left_cols`` (the left side's full column list) skips the
     ``left.schema()`` derivation, which executes part of the left plan.
-    ``int_dtypes`` is accepted for API compatibility but no longer
-    needed."""
+    ``right_dtypes`` (pandas dtype per right value column) types the
+    empty frame a right-less bucket synthesizes — pass it when right
+    value columns are non-numeric, or single-sided buckets would emit
+    float64 where mixed buckets emit object. ``int_dtypes`` is accepted
+    for API compatibility but no longer needed."""
     from ..stages import exchange
 
     if left_cols is None:
@@ -310,10 +342,11 @@ def asof_join(
             # no right rows in this bucket: typed empty so merge_asof's
             # key checks pass; value columns come out float64 NaN exactly
             # as an empty match group would
+            rdt = right_dtypes or {}
             r = pd.DataFrame(
                 {by: pd.Series([], dtype=l[by].dtype),
                  on: pd.Series([], dtype=l[on].dtype),
-                 **{c: pd.Series([], dtype=float) for c in right_cols}}
+                 **{c: pd.Series([], dtype=rdt.get(c, float)) for c in right_cols}}
             )
         # secondary sort on the value columns: among equal-`on` right rows
         # merge_asof picks the LAST, so this makes the pick deterministic

@@ -153,8 +153,15 @@ def span_stats(
         flat = spans.flatten()
         offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         counts = np.diff(offsets)
-        is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
-        tlen = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
+        # the span fields are nullable: a null kind/text would surface as
+        # NaN from to_numpy and astype(int64) would silently emit garbage
+        # (e.g. -2^63) — count nulls as not-text / zero-length
+        is_text = pc.fill_null(
+            pc.equal(flat.field("kind"), "text"), False
+        ).to_numpy(zero_copy_only=False)
+        tlen = pc.fill_null(
+            pc.utf8_length(flat.field("text")), 0
+        ).to_numpy(zero_copy_only=False)
         starts = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
         if len(flat):
             n_text = np.add.reduceat(is_text.astype(np.int64), starts)
