@@ -13,10 +13,19 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the headline twice in fresh processes (num_cpus=8 and 32)
-on the same input and reports throughput at both plus scaling efficiency
-(the sandbox evidence protocol for the N-vs-4N-nodes criterion,
-BASELINE.md).
+--scaling: the sandbox evidence protocol for the N-vs-4N-nodes criterion
+(BASELINE.md). Fresh processes at two parallelism levels on the same
+input, with two controls that make the number credible on a shared host:
+
+- CPU PINNING: each leg pins its whole Ray tree (driver -> raylet ->
+  workers inherit the affinity mask) to exactly num_cpus cores via
+  sched_setaffinity, so the small leg cannot borrow idle cores beyond
+  its budget — the round-2 protocol's >1.0 "efficiency" readings were
+  exactly that borrowing plus ambient-load asymmetry.
+- INTERLEAVED LEGS: rounds alternate small/large so both levels sample
+  the same ambient-load windows; the reported throughput per level is
+  the best across rounds (min wall time), and per-round load averages
+  are emitted so an ambient wave is visible in the record.
 """
 
 from __future__ import annotations
@@ -32,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "64000000"))
-N_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+N_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "5"))
 CORPUS_DIR = f"/tmp/graft_bench/docs_{N_DOCS}"
 
 
@@ -106,6 +115,11 @@ def run_queries() -> dict[str, float]:
 def main():
     import ray
 
+    if os.environ.get("GRAFT_PIN_CPUS") == "1":
+        # pin BEFORE ray.init: raylet + workers inherit the mask, so the
+        # whole Ray tree is confined to exactly NUM_CPUS physical cores
+        os.sched_setaffinity(0, set(range(NUM_CPUS)))
+    load1_start = os.getloadavg()[0]
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -134,6 +148,9 @@ def main():
                 "n_docs": N_DOCS,
                 "docs_per_sec": round(headline["docs_per_sec"], 1),
                 "all_runs_sec": headline["all_runs_sec"],
+                "pinned": os.environ.get("GRAFT_PIN_CPUS") == "1",
+                "load1_start": round(load1_start, 2),
+                "load1_end": round(os.getloadavg()[0], 2),
             }
         )
     )
@@ -145,15 +162,15 @@ def scaling():
     # with that noise directly (observed 11s-17s for identical work) while
     # legs that leave headroom measure the engine, not the neighbors.
     lo, hi = 6, 24
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
-            # the sandbox is a shared host with multi-second run-to-run
-            # noise; the scaling criterion uses best-of-5 per level
-            GRAFT_BENCH_RUNS="5",
+            GRAFT_BENCH_RUNS=os.environ.get("GRAFT_BENCH_RUNS", "2"),
+            GRAFT_PIN_CPUS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -161,20 +178,35 @@ def scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    # interleave the legs so both sample the same ambient windows; the
+    # reported figure per level is the best (min wall) across rounds
+    results = {lo: [], hi: []}
+    for _ in range(rounds):
+        results[lo].append(run(lo))
+        results[hi].append(run(hi))
+    best = {n: min(rs, key=lambda r: r["value"]) for n, rs in results.items()}
+    eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (fresh processes, same input)",
+                "metric": "scaling efficiency (pinned cpusets, interleaved legs, best-of-rounds)",
                 "cpus_small": lo,
                 "cpus_large": hi,
-                "sec_small": r_lo["value"],
-                "sec_large": r_hi["value"],
-                "docs_per_sec_small": r_lo["docs_per_sec"],
-                "docs_per_sec_large": r_hi["docs_per_sec"],
+                "rounds": rounds,
+                "sec_small": best[lo]["value"],
+                "sec_large": best[hi]["value"],
+                "docs_per_sec_small": best[lo]["docs_per_sec"],
+                "docs_per_sec_large": best[hi]["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
-                "n_docs": r_lo["n_docs"],
+                "n_docs": best[lo]["n_docs"],
+                "per_round": {
+                    str(n): [
+                        {"sec": r["value"], "load1_start": r["load1_start"],
+                         "load1_end": r["load1_end"]}
+                        for r in rs
+                    ]
+                    for n, rs in results.items()
+                },
             }
         )
     )

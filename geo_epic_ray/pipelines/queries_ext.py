@@ -15,6 +15,7 @@ import ray
 import ray.data as rd
 
 from ..stages.climate import DAYS_IN_MONTH, INP_COLUMNS, monthly_climate_stats
+from . import oracle_sql as _oracle_sql
 from .queries import _TILE_SQL as _TILE_SQL_EXT
 from .queries import register
 
@@ -454,26 +455,67 @@ def ann_topk_cosine(sf_dir: str):
 
 @register("ivf_topk_cosine")  # approximate by construction -> rows-only check
 def ivf_topk_cosine(sf_dir: str):
-    """IVF search with the coarse quantizer trained on a STREAMED sample:
-    the training vectors are hash-thinned inside map_batches (only ~256
-    sampled rows ever reach the driver — the full embedding table is never
-    materialized)."""
-    from ..stages.similarity import ivf_topk, train_ivf_centroids
+    """Centroid-PARTITIONED IVF search: vectors are physically bucketed
+    by nearest centroid through the task exchange (one object-store cell
+    per centroid — at deployment scale one parquet directory each), and
+    the query scans ONLY its nprobe cells; unprobed cells' partitions are
+    never read. The coarse quantizer trains on a STREAMED hash-thinned
+    sample (~256 rows to the driver, never the table).
+
+    The corpus is augmented with 12 deterministic perturbed twins of
+    vec 0 (cosine ~0.999, derived in-stream) so the true neighborhood is
+    known; recall@10 vs the exact distributed brute force is asserted
+    >= 0.9 in-query."""
+    from ..stages.similarity import (
+        ann_topk,
+        ivf_topk_partitioned,
+        train_ivf_centroids,
+    )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n = ds.count()  # metadata-only for parquet
     mod = max(1, n // 256)
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        # normalize EVERY batch to float64 vectors: a batch that gains
+        # float64 twins would otherwise carry a different tensor dtype
+        # than untouched float32 batches and the cells couldn't concat
+        out = pd.DataFrame(
+            {"vec_id": b.vec_id.to_numpy(),
+             "embedding": [np.asarray(v, np.float64) for v in b.embedding]}
+        )
+        sel = b[b.vec_id == 0]
+        if not len(sel):
+            return out
+        v = np.asarray(sel.embedding.iloc[0], dtype=np.float64)
+        rng = np.random.default_rng(7)
+        noise = rng.standard_normal((12, v.size))
+        twins = v[None, :] + 0.05 * np.linalg.norm(v) / np.sqrt(v.size) * noise
+        extra = pd.DataFrame(
+            {"vec_id": 10_000_000 + np.arange(12, dtype=np.int64),
+             "embedding": list(twins)}
+        )
+        return pd.concat([out, extra], ignore_index=True)
+
+    # dual-consumer: IVF cells AND the exact brute-force recall oracle
+    aug = ds.map_batches(plant, batch_format="pandas").materialize()
 
     def thin(b: pd.DataFrame) -> pd.DataFrame:
         # hash-thinned training sample + the query vector, one pass
         h = (b.vec_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
         return b[(h % np.uint64(mod) == 0) | (b.vec_id.to_numpy() == 0)]
 
-    small = ds.map_batches(thin, batch_format="pandas").to_pandas()
+    small = aug.map_batches(thin, batch_format="pandas").to_pandas()
     sample = np.stack(small.embedding.to_numpy())
     cents = train_ivf_centroids(sample, n_centroids=8)
     q = np.stack(small.loc[small.vec_id == 0, "embedding"].to_numpy())
-    return ivf_topk(ds, q, cents, k=10, nprobe=3)
+
+    ivf = ivf_topk_partitioned(aug, q, cents, k=10, nprobe=3)
+    exact = ann_topk(aug, q, k=10).to_pandas()
+    recall = len(set(ivf.vec_id) & set(exact.vec_id)) / 10.0
+    assert recall >= 0.9, f"IVF recall@10 = {recall} < 0.9"
+    ivf["recall_at_10"] = recall
+    return ivf
 
 
 # --- engine-only pipelines (rows-only checks) -------------------------------
@@ -492,21 +534,26 @@ def minhash_lsh_pairs(sf_dir: str):
     return out.sort(["id_a", "id_b"])
 
 
-@register("simhash_fingerprints")
+@register("simhash_fingerprints", _oracle_sql.simhash_fingerprints_sql())
 def simhash_fp_q(sf_dir: str):
+    """64-bit SimHash per document — bit-exact DuckDB oracle (the token
+    hash is FNV-1a over codepoints + a splitmix64 finisher, inlined as
+    mod-2^64 HUGEINT arithmetic in pipelines/oracle_sql.py)."""
     from ..stages.dedup import simhash_fingerprints
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_fingerprints(ds)
 
 
-@register("simhash_dup_pairs")
+@register("simhash_dup_pairs", _oracle_sql.simhash_dup_pairs_sql())
 def simhash_dup_pairs_q(sf_dir: str):
     """SimHash near-dedup (Hamming <= 3 via the exact 4-chunk pigeonhole
     bucketing, stages/dedup.py:simhash_dup_pairs) over the documents
     table augmented with deterministic twins of the first 24 docs (8
     verbatim, 16 with one appended token — in-stream, no side data).
-    Chunk-trick exactness vs brute force is locked in tests."""
+    The pigeonhole trick is lossless for hamming < n_chunks, so the
+    DuckDB all-pairs popcount filter is a bit-exact oracle; chunk-trick
+    exactness vs brute force is additionally locked in tests."""
     from ..stages.dedup import simhash_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1718,21 +1765,20 @@ def stratified_sample(sf_dir: str):
 def multimodal_decode_resize(sf_dir: str):
     """The multimodal decode -> resize chain over media refs extracted
     from the synthetic interleaved corpus (media spans of the first 256
-    docs). Codec work is a deterministic stand-in (no image libraries in
-    this environment — stages/multimodal.py); the Ray plumbing (schema,
-    small batches for wide rows, actor pools) is real -> rows-only."""
+    docs), with REAL decode: payloads are byte-valid PNG and 24-bit BMP
+    files (stages/codecs.py, stdlib-only, pixel-exact tests) sniffed per
+    row inside the actor pool. Rows-only (engine-native operator)."""
     from ..fixtures.documents import documents_batch
-    from ..stages.multimodal import decode_pipeline, synth_media_table
+    from ..stages.multimodal import decode_pipeline, synth_image_table
 
     docs = documents_batch(np.arange(256, dtype=np.int64))
-    refs, kinds = [], []
+    refs = []
     for spans in docs["spans"].to_pylist():
         for s in spans:
             if s["kind"] in ("image", "audio") and s["media_ref"]:
                 refs.append(s["media_ref"])
-                kinds.append(s["kind"])
-    media = synth_media_table(refs[:400], kinds[:400])
-    out = decode_pipeline(rd.from_arrow(media), fake=True, concurrency=2)
+    media = synth_image_table(refs[:400], fmt="mixed")
+    out = decode_pipeline(rd.from_arrow(media), fake=False, concurrency=2)
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -31,11 +31,26 @@ import ray.data as rd
 class RoutineRegistry:
     def __init__(self):
         self.routines: dict[str, Callable[[dict], dict]] = {}
+        self.batch_routines: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {}
         self.objectives: dict[str, Callable] = {}
 
     def routine(self, fn: Callable[[dict], dict]) -> Callable:
-        """Register a per-record post-process routine (@workspace.logger)."""
+        """Register a per-record post-process routine (@workspace.logger).
+        The per-record dict API mirrors the reference; it costs a Python
+        loop per row — prefer ``@batch_routine`` for anything hot."""
         self.routines[fn.__name__] = fn
+        return fn
+
+    def batch_routine(
+        self, fn: Callable[[pd.DataFrame], pd.DataFrame]
+    ) -> Callable:
+        """Register a VECTORIZED routine: receives the whole batch
+        (pandas) and returns a DataFrame of outputs, one row per input
+        record, WITHOUT the id column (the engine attaches id + routine
+        name). This is the scale surface — no to_dict('records') row
+        loop; the per-record ``@routine`` API is kept for reference
+        parity only."""
+        self.batch_routines[fn.__name__] = fn
         return fn
 
     def objective(self, fn: Callable) -> Callable:
@@ -45,16 +60,30 @@ class RoutineRegistry:
     def apply(self, ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
         """Run every registered routine over each record; output one row
         per (record, routine) with the routine's dict flattened —
-        the engine's version of the reference's per-site log tables."""
+        the engine's version of the reference's per-site log tables.
+        Batch routines run vectorized (one call per batch); per-record
+        routines pay the row loop their API implies."""
         routines = dict(self.routines)
+        batch_routines = dict(self.batch_routines)
 
         def run(batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for name, fn in batch_routines.items():
+                out = fn(batch).reset_index(drop=True)
+                out.insert(0, "routine", name)
+                out.insert(0, id_col, batch[id_col].to_numpy())
+                frames.append(out)
             rows = []
-            for rec in batch.to_dict("records"):
-                for name, fn in routines.items():
-                    out = fn(rec)
-                    rows.append({id_col: rec[id_col], "routine": name, **out})
-            return pd.DataFrame(rows)
+            if routines:
+                for rec in batch.to_dict("records"):
+                    for name, fn in routines.items():
+                        out = fn(rec)
+                        rows.append({id_col: rec[id_col], "routine": name, **out})
+            if rows:
+                frames.append(pd.DataFrame(rows))
+            if not frames:
+                return pd.DataFrame({id_col: [], "routine": []})
+            return pd.concat(frames, ignore_index=True)
 
         return ds.map_batches(run, batch_format="pandas")
 

@@ -209,6 +209,57 @@ def parse_epic_output(text: str, kind: str) -> pd.DataFrame:
     return df
 
 
+# --- DSL soil-water output ----------------------------------------------------
+
+
+DSL_COLUMNS = ["Date"] + [f"SW{i}" for i in range(1, 16)] + ["SWavg"]
+
+
+def parse_dsl(text: str) -> pd.DataFrame:
+    """EPIC .DSL soil-water output: 11 header lines, then one 57-line
+    block per simulated day — the date on the block's first line
+    (double-space separated Y M D) and the per-layer soil-water row
+    (SW1..SWn + trailing SWavg) on its 8th (geoEpic/io/sw.py:1-41).
+    Returns (Date, SW1.., SWavg); empty files (<= 10 lines) return the
+    empty 17-column frame exactly as the reference does."""
+    lines = text.splitlines()
+    if len(lines) <= 10:
+        return pd.DataFrame(columns=DSL_COLUMNS)
+    data = lines[11:]
+    no_days = len(data) // 57
+    if no_days == 0:
+        # header-only file: same empty frame as the short-file case (the
+        # reference would emit a Date-only frame here — normalized)
+        return pd.DataFrame(columns=DSL_COLUMNS)
+    dates, rows = [], []
+    for i in range(no_days):
+        dates.append(pd.to_datetime(data[i * 57].replace("  ", "-").strip()))
+        vals = np.array(data[i * 57 + 7].split(), dtype=np.float64)
+        row = {f"SW{j + 1}": v for j, v in enumerate(vals[:-1])}
+        row["SWavg"] = vals[-1]
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    df.insert(0, "Date", dates)
+    return df
+
+
+def format_dsl(df: pd.DataFrame) -> str:
+    """Inverse of ``parse_dsl``: synthesizes the 11-line header and one
+    57-line day block per row (date line, 6 filler lines, the SW row,
+    49 trailing filler lines) so parse(format(df)) round-trips."""
+    sw_cols = [c for c in df.columns if c.startswith("SW") and c != "SWavg"]
+    sw_cols = sorted(sw_cols, key=lambda c: int(c[2:]))
+    out = ["DSL soil water output (synthesized)"] + [""] * 10
+    for _, row in df.iterrows():
+        d = pd.Timestamp(row["Date"])
+        out.append(f"{d.year}  {d.month}  {d.day}")
+        out.extend([""] * 6)
+        vals = [row[c] for c in sw_cols] + [row["SWavg"]]
+        out.append(" ".join(f"{v:10.4f}" for v in vals))
+        out.extend([""] * 49)
+    return "\n".join(out) + "\n"
+
+
 def parse_many(batch: pd.DataFrame, parser, text_col: str = "bytes") -> pd.DataFrame:
     """Apply a per-file parser over a read_binary_files batch
     (columns: bytes, path) and concat with a source_path column."""

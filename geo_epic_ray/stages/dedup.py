@@ -608,18 +608,35 @@ def minhash_dedup_pairs(
 
 
 def _token_hashes(tokens: list[str], seed: int) -> np.ndarray:
-    """Deterministic 64-bit token hashes, computed in ONE vectorized pass
-    (polars hash_rows — C speed, process-independent; Python's builtin
-    hash() is per-process randomized and must never appear in distributed
-    stages)."""
-    import polars as pl
+    """Deterministic 64-bit token hashes: FNV-1a over unicode CODEPOINTS
+    (mod 2^64) then a splitmix64-style finisher mixed with the seed.
+    Process-independent (Python's builtin hash() is per-process
+    randomized and must never appear in distributed stages) and — unlike
+    the polars hash_rows it replaced — exactly reproducible in ANSI SQL
+    (HUGEINT multiply + mod 2^64), which gives simhash_fingerprints /
+    simhash_dup_pairs bit-exact DuckDB oracles.
 
-    return (
-        pl.from_arrow(pa.table({"t": pa.array(tokens, type=pa.string())}))
-        .hash_rows(seed=seed)
-        .to_numpy()
-        .astype(np.uint64)
-    )
+    Vectorized as one pass per codepoint POSITION (max token length
+    passes over the flat codepoint array), not per token."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    blob = "".join(tokens)
+    codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    FNV_OFF = np.uint64(0xCBF29CE484222325)
+    FNV_PRIME = np.uint64(0x100000001B3)
+    h = np.full(n, FNV_OFF, dtype=np.uint64)
+    for p in range(int(lens.max(initial=0))):
+        live = lens > p
+        idx = starts[live] + p
+        h[live] = (h[live] ^ codes[idx]) * FNV_PRIME
+    # seed-mixed splitmix64 finisher (same constants as fixtures/rng.py)
+    z = h + np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def simhash64(texts: list[str], seed: int = 11) -> np.ndarray:

@@ -1,16 +1,16 @@
-"""Multimodal (image/audio/video) stages — Ray-side plumbing is real,
-codec work is stubbed.
+"""Multimodal (image/audio/video) stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (media_ref, media_kind, n_bytes). The decode / resize / frame-sample
 stages are actor-pool ``map_batches`` classes with the production
 signature (expensive codec init in ``__init__``, batched work in
-``__call__``, small ``batch_size`` because rows are wide) — but the
-actual pixel/sample decode is NOT implementable in this container (no
-image/audio libraries), so each stage either raises
-``NotImplementedError`` (default) or produces a clearly-marked
-deterministic fake (``fake=True``) used by the tests to validate schema,
-batching and actor wiring.
+``__call__``, small ``batch_size`` because rows are wide).
+
+IMAGE decode is REAL for PNG (8-bit RGB/RGBA, zlib) and 24-bit BMP —
+pure-stdlib codecs in stages/codecs.py, pixel-exact tests — and
+``fake=True`` remains as the fast deterministic stand-in for plumbing
+tests. AUDIO/VIDEO codecs are genuinely unavailable in this container,
+so FrameSample keeps the NotImplementedError-or-fake contract.
 """
 
 from __future__ import annotations
@@ -48,41 +48,86 @@ def synth_media_table(refs: list[str], kinds: list[str], seed: int = 42) -> pa.T
     )
 
 
+def synth_image_table(refs: list[str], seed: int = 42, fmt: str = "mixed") -> pa.Table:
+    """REAL encoded image payloads (PNG / 24-bit BMP, deterministic
+    pixels) for exercising the real decode path in-sandbox. ``fmt``:
+    "png", "bmp", or "mixed" (alternating)."""
+    from .codecs import encode_bmp, encode_png
+
+    payloads = []
+    for i, _ in enumerate(refs):
+        h = 6 + int(hash_u64(np.array([i]), seed, 95)[0] % 6)
+        w = 6 + int(hash_u64(np.array([i]), seed, 96)[0] % 6)
+        img = (
+            (hash_u64(np.arange(h * w * 3) + i * 100003, seed, 97) % 256)
+            .astype(np.uint8)
+            .reshape(h, w, 3)
+        )
+        use_png = fmt == "png" or (fmt == "mixed" and i % 2 == 0)
+        payloads.append(encode_png(img) if use_png else encode_bmp(img))
+    return pa.table(
+        {
+            "media_ref": pa.array(list(refs), pa.string()),
+            "media_kind": pa.array(["image"] * len(refs), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
 class ImageDecode:
     """media binary -> (height, width, channels, pixels). Actor-pool stage:
     ``map_batches(ImageDecode, concurrency=N, batch_size=64, num_cpus=1)``
     — batch_size SMALL because decoded rows are wide (the guide's
-    memory-aware rule)."""
+    memory-aware rule).
+
+    Real path: PNG (8-bit RGB/RGBA) and 24-bit BMP via the pure-stdlib
+    codecs (stages/codecs.py, pixel-exact tests); sniffed per payload by
+    magic bytes, so mixed-format corpora decode in one stage. Other
+    formats raise NotImplementedError (no image libraries in-sandbox).
+    ``fake=True`` keeps the deterministic stand-in (fast, codec-free)."""
 
     def __init__(self, fake: bool = False):
-        self.fake = fake  # real path would open codec handles here, once
+        # real codec state is stdlib-only; a production build would open
+        # codec handles / warm a decoder pool here, once per actor
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codecs are unavailable in this environment; "
-                "construct with fake=True for the deterministic stand-in"
-            )
         n = batch.num_rows
-        idx = np.arange(n)
-        h = 8 + (hash_u64(idx, 1, 92) % 8).astype(np.int64)
-        w = 8 + (hash_u64(idx, 1, 93) % 8).astype(np.int64)
-        pixels = [
-            (hash_u64(np.arange(hh * ww * 3), 1, 94) % 256).astype(np.uint8).tobytes()
-            for hh, ww in zip(h, w)
-        ]
+        if self.fake:
+            idx = np.arange(n)
+            h = 8 + (hash_u64(idx, 1, 92) % 8).astype(np.int64)
+            w = 8 + (hash_u64(idx, 1, 93) % 8).astype(np.int64)
+            chans = np.full(n, 3)
+            pixels = [
+                (hash_u64(np.arange(hh * ww * 3), 1, 94) % 256).astype(np.uint8).tobytes()
+                for hh, ww in zip(h, w)
+            ]
+        else:
+            from .codecs import decode_image
+
+            h = np.empty(n, dtype=np.int64)
+            w = np.empty(n, dtype=np.int64)
+            chans = np.empty(n, dtype=np.int64)
+            pixels = []
+            for i, payload in enumerate(batch["payload"].to_pylist()):
+                img = decode_image(payload)
+                h[i], w[i], chans[i] = img.shape
+                pixels.append(img.tobytes())
         return (
             batch.append_column("height", pa.array(h))
             .append_column("width", pa.array(w))
-            .append_column("channels", pa.array(np.full(n, 3)))
+            .append_column("channels", pa.array(chans))
             .append_column("pixels", pa.array(pixels, pa.binary()))
         )
 
 
 class ImageResize:
-    """(pixels, h, w) -> nearest-neighbor resize to (target, target).
-    Deterministic pure-numpy implementation — real, not stubbed, since it
-    needs no codec."""
+    """(pixels, h, w, channels) -> nearest-neighbor resize to (target,
+    target). Deterministic pure-numpy implementation — real, not stubbed,
+    since it needs no codec. Variable image sizes force per-image work;
+    the bytes stay in the Arrow binary buffer until each image's single
+    zero-copy ``np.frombuffer`` view."""
 
     def __init__(self, target: int = 4):
         self.target = target
@@ -90,10 +135,17 @@ class ImageResize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         t = self.target
-        for pix, h, w in zip(
-            batch["pixels"].to_pylist(), batch["height"].to_pylist(), batch["width"].to_pylist()
-        ):
-            img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+        pix_arr = batch["pixels"].combine_chunks()
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        cs = (
+            batch["channels"].to_numpy(zero_copy_only=False)
+            if "channels" in batch.column_names
+            else np.full(batch.num_rows, 3)
+        )
+        for i in range(batch.num_rows):
+            h, w, c = int(hs[i]), int(ws[i]), int(cs[i])
+            img = np.frombuffer(pix_arr[i].as_buffer(), dtype=np.uint8).reshape(h, w, c)
             yi = (np.arange(t) * h // t)[:, None]
             xi = (np.arange(t) * w // t)[None, :]
             out.append(img[yi, xi].tobytes())

@@ -5,16 +5,23 @@
   its per-batch top-k, and a tiny grouped merge keeps the global top-k
   per query. No full-dataset materialization; the shuffle carries only
   batch_count * k rows per query.
-- ``ivf_topk``: the scale path — vectors are bucketed by nearest centroid
-  (an IVF coarse quantizer trained driver-side on a sample); a query only
-  scans the ``nprobe`` nearest buckets. Recall < 1 by construction; the
-  bench compares its recall/latency against brute force.
+- ``ivf_partition`` + ``ivf_topk_partitioned``: the scale path — vectors
+  are PHYSICALLY partitioned by nearest centroid through the task
+  exchange (one object-store cell per centroid; at deployment scale the
+  same scatter writes one parquet directory per cell), and a query scans
+  ONLY its ``nprobe`` nearest cells. nprobe prunes IO, not just compute —
+  the round-2 ``ivf_topk`` (kept for comparison) assigned centroids
+  inside a full scan, so every query still read the whole corpus.
+- ``ivf_topk``: the scan-all variant (compute pruning only). Prefer the
+  partitioned form; this stays as the one-shot path when the corpus is
+  read once anyway and building cells would cost the same full exchange.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -85,6 +92,109 @@ def train_ivf_centroids(
                 c[j] = x[m].mean(axis=0)
         c = _normalize(c)
     return c
+
+
+def ivf_partition(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+) -> list[list[ray.ObjectRef]]:
+    """Physically bucket the vector table by nearest centroid: one task
+    exchange (streaming scatter), one object-store cell per centroid.
+    This is the index BUILD — paid once, reused by every query; a search
+    then reads only its probed cells' partitions. At deployment scale the
+    same layout is one parquet directory per cell (resumable, prunable
+    reads); in-session the cells live in the object store and spill."""
+    from . import exchange
+
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    def assign_bucket(tbl: pa.Table) -> np.ndarray:
+        emb = _normalize(
+            np.stack(tbl.column(emb_col).to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        return np.argmax(emb @ c.T, axis=1).astype(np.int64)
+
+    assign_bucket.wants_arrow = True
+    assign_bucket.needs_cols = [emb_col]
+    return exchange.scatter(ds, c.shape[0], assign_bucket)
+
+
+@ray.remote
+def _ivf_scan_cell(qm: np.ndarray, qids: np.ndarray, k: int, emb_col: str,
+                   id_col: str, *parts: pa.Table) -> pd.DataFrame:
+    """Scan ONE centroid cell for the queries probing it; emit each
+    query's cell-local top-k (ties broken by lowest id)."""
+    b = pa.concat_tables(parts, promote_options="permissive").to_pandas()
+    emb = _normalize(np.stack(b[emb_col].to_numpy()).astype(np.float64))
+    ids = b[id_col].to_numpy()
+    sims = emb @ qm.T  # (n, m)
+    frames = []
+    for j, qi in enumerate(qids):
+        s = sims[:, j]
+        order = np.lexsort((ids, -s))[:k]
+        frames.append(
+            pd.DataFrame({"query_id": int(qi), id_col: ids[order], "cosine": s[order]})
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def ivf_topk_partitioned(
+    ds_or_parts: rd.Dataset | list[list[ray.ObjectRef]],
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF search over centroid-partitioned cells: each query scans only
+    its ``nprobe`` nearest cells (IO pruning — unprobed cells' partitions
+    are never touched). Pass a Dataset to build the cells inline, or the
+    ``ivf_partition`` result to reuse an existing index across calls.
+
+    Returns a driver DataFrame (query_id, id_col, cosine, rank) — the
+    merge is nq x nprobe x k rows, bounded by construction."""
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    parts = (
+        ds_or_parts
+        if isinstance(ds_or_parts, list)
+        else ivf_partition(ds_or_parts, c, emb_col=emb_col)
+    )
+    probe = np.argsort(-(qm @ c.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # fetch k + #excludable per cell so dropping excluded ids at the
+    # merge can never leave a query short
+    kk = k + (len(exclude_ids) if exclude_ids is not None else 0)
+    futs = []
+    for b in range(c.shape[0]):
+        qids = np.flatnonzero((probe == b).any(axis=1))
+        if qids.size and parts[b]:
+            futs.append(
+                _ivf_scan_cell.remote(
+                    qm[qids], qids, kk, emb_col, id_col, *parts[b]
+                )
+            )
+    if not futs:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype=np.int64),
+             id_col: pd.Series([], dtype=np.int64),
+             "cosine": pd.Series([], dtype=np.float64),
+             "rank": pd.Series([], dtype=np.int64)}
+        )
+    m = pd.concat(ray.get(futs), ignore_index=True)
+    if exclude_ids is not None:
+        m = m[~m[id_col].isin(exclude_ids)]
+    m = m.sort_values(["query_id", "cosine", id_col],
+                      ascending=[True, False, True], kind="stable")
+    m = m.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    m["rank"] = m.groupby("query_id").cumcount() + 1
+    return m
 
 
 def ivf_topk(

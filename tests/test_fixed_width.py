@@ -103,3 +103,33 @@ def test_ray_pipeline_over_dly_files(ray_session, tmp_path):
     out = parsed.to_pandas()
     assert len(out) == 4 * 365
     assert out.source_path.nunique() == 4
+
+
+def test_dsl_roundtrip():
+    dates = pd.to_datetime(["2020-01-01", "2020-01-02", "2020-02-15"])
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"Date": dates})
+    for i in range(1, 16):
+        df[f"SW{i}"] = rng.uniform(0.05, 0.45, 3).round(4)
+    df["SWavg"] = df[[f"SW{i}" for i in range(1, 16)]].mean(axis=1).round(4)
+    text = fw.format_dsl(df)
+    back = fw.parse_dsl(text)
+    assert list(back.columns) == fw.DSL_COLUMNS
+    pd.testing.assert_frame_equal(back, df[fw.DSL_COLUMNS], check_exact=False,
+                                  rtol=0, atol=1e-9)
+
+
+def test_dsl_empty_and_block_layout():
+    # <= 10 lines -> the reference's empty 17-column frame (sw.py:22-24)
+    empty = fw.parse_dsl("short\nfile\n")
+    assert list(empty.columns) == fw.DSL_COLUMNS and len(empty) == 0
+    # header-only file normalizes to the same empty frame
+    assert len(fw.parse_dsl(fw.format_dsl(empty))) == 0
+    # the day block is 57 lines with the SW row on line 8 (sw.py:29-31)
+    one = pd.DataFrame({"Date": [pd.Timestamp("2021-07-04")],
+                        **{f"SW{i}": [0.1 * i] for i in range(1, 16)},
+                        "SWavg": [0.8]})
+    lines = fw.format_dsl(one).splitlines()
+    assert len(lines) == 11 + 57
+    assert lines[11].strip().startswith("2021")
+    assert len(lines[11 + 7].split()) == 16

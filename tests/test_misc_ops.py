@@ -108,8 +108,33 @@ def test_routine_registry(ray_session):
     assert reg.reduce("total", out) == sum(10 * i * 2 for i in range(5))
 
     derived = eval_derived_columns(ds, {"half": "n_chars / 2", "root": "sqrt(n_chars)"})
-    d = derived.to_pandas()
+    # block order is not guaranteed by the streaming executor — sort
+    d = derived.to_pandas().sort_values("doc_id")
     assert list(d.half) == [5.0 * i for i in range(5)]
+
+
+def test_batch_routine_vectorized_matches_per_record(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.pipelines.registry import RoutineRegistry
+
+    reg = RoutineRegistry()
+
+    @reg.routine
+    def per_rec(rec):
+        return {"twice": rec["n_chars"] * 2}
+
+    @reg.batch_routine
+    def vec(batch: pd.DataFrame) -> pd.DataFrame:
+        # whole-batch, no row loop
+        return pd.DataFrame({"twice": batch["n_chars"].to_numpy() * 2})
+
+    ds = rd.from_items([{"doc_id": i, "n_chars": 10 * i} for i in range(6)])
+    out = reg.apply(ds).to_pandas()
+    a = out[out.routine == "per_rec"].sort_values("doc_id")
+    b = out[out.routine == "vec"].sort_values("doc_id")
+    np.testing.assert_array_equal(a.twice.to_numpy(), b.twice.to_numpy())
+    np.testing.assert_array_equal(a.doc_id.to_numpy(), b.doc_id.to_numpy())
 
 
 def test_multimodal_plumbing(ray_session):
@@ -131,11 +156,96 @@ def test_multimodal_plumbing(ray_session):
     ).to_pandas()
     assert (sampled.n_frames_sampled >= 1).all()
 
-    # real (non-fake) decode path raises cleanly
+    # the real decode path on NON-image payloads raises cleanly
     from geo_epic_ray.stages.multimodal import ImageDecode
 
     with pytest.raises(NotImplementedError):
-        ImageDecode()(media)
+        ImageDecode()(media)  # synth_media_table payloads are random bytes
+
+
+def test_image_codecs_pixel_exact():
+    """PNG and BMP round-trip pixel-exactly, and the PNG unfilter handles
+    all five row filters (checked against an independent scalar
+    implementation)."""
+    import struct
+    import zlib
+
+    from geo_epic_ray.stages import codecs
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 7), (8, 8)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+        np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+        np.testing.assert_array_equal(codecs.decode_image(codecs.encode_bmp(img)), img)
+    rgba = rng.integers(0, 256, (4, 6, 4)).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+
+    # hand-built IDAT exercising filters 0..4
+    h, w, c = 6, 4, 3
+    stride = w * c
+    raw = rng.integers(0, 256, (h, 1 + stride)).astype(np.uint8)
+    raw[:, 0] = [0, 1, 2, 3, 4, 1]
+
+    def ref_unfilter(raw):
+        out = np.zeros((h, stride), dtype=np.int64)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            f, r = raw[y, 0], raw[y, 1:].astype(np.int64)
+            for x in range(stride):
+                a = out[y, x - c] if x >= c else 0
+                b, cc = prev[x], (prev[x - c] if x >= c else 0)
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+                out[y, x] = (r[x] + pred) % 256
+            prev = out[y]
+        return out.astype(np.uint8)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + codecs._chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(
+        codecs.decode_png(buf), ref_unfilter(raw).reshape(h, w, c)
+    )
+
+
+def test_real_decode_pipeline_mixed_formats(ray_session):
+    """decode_pipeline with fake=False over byte-valid PNG+BMP payloads:
+    decoded dims match the encoders' and the resize output is exact."""
+    import ray.data as rd
+
+    from geo_epic_ray.stages import codecs
+    from geo_epic_ray.stages.multimodal import decode_pipeline, synth_image_table
+
+    refs = [f"img://{i}" for i in range(16)]
+    media = synth_image_table(refs, fmt="mixed")
+    out = (
+        decode_pipeline(rd.from_arrow(media), fake=False, target=4, concurrency=1)
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert len(out) == 16
+    payloads = {r: p for r, p in zip(refs, media["payload"].to_pylist())}
+    for r in refs:
+        img = codecs.decode_image(payloads[r])
+        h, w, _ = img.shape
+        yi = (np.arange(4) * h // 4)[:, None]
+        xi = (np.arange(4) * w // 4)[None, :]
+        assert out.loc[r, "pixels"] == img[yi, xi].tobytes()  # pixel-exact
 
 
 def test_cli_list_queries(capsys):

@@ -103,6 +103,52 @@ def test_ivf_recall_reasonable(ray_session):
     assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 buckets
 
 
+def test_ivf_partitioned_matches_probed_bruteforce(ray_session):
+    """The centroid-partitioned IVF must return EXACTLY the brute-force
+    top-k restricted to vectors whose nearest centroid is probed (the
+    only approximation is the cell pruning), and full recall on planted
+    twins that share the query's cell."""
+    import ray.data as rd
+
+    from geo_epic_ray.stages.similarity import (
+        _normalize,
+        ann_topk,
+        ivf_topk_partitioned,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(4)
+    n, d, k, nprobe = 500, 16, 10, 3
+    mat = rng.normal(size=(n, d))
+    # plant 6 twins of vector 0 (same cell, cosine ~0.999)
+    twins = mat[0][None, :] + 0.02 * rng.normal(size=(6, d))
+    allm = np.vstack([mat, twins])
+    ids = np.arange(len(allm))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(allm)})
+    ds = rd.from_pandas(df).repartition(4)
+    cents = train_ivf_centroids(allm, n_centroids=8)
+    q = allm[:2]
+    got = ivf_topk_partitioned(ds, q, cents, k=k, nprobe=nprobe)
+
+    cn = _normalize(cents)
+    mn = _normalize(allm)
+    qn = _normalize(q)
+    assign = np.argmax(mn @ cn.T, axis=1)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    for qi in range(2):
+        in_cells = np.isin(assign, probe[qi])
+        s = (mn @ qn[qi])
+        s[~in_cells] = -np.inf
+        exp = np.lexsort((ids, -s))[:k]
+        sub = got[got.query_id == qi].sort_values("rank")
+        np.testing.assert_array_equal(sub.vec_id.to_numpy(), exp)
+    # the planted twins dominate query 0's exact top-k and share its cell
+    exact = ann_topk(ds, q[:1], k=k).to_pandas()
+    e0 = set(exact[exact.query_id == 0].vec_id)
+    g0 = set(got[got.query_id == 0].vec_id)
+    assert len(e0 & g0) / k >= 0.9
+
+
 def test_select_dsl_units(ray_session):
     import ray.data as rd
 
