@@ -33,6 +33,41 @@ def _u64mul(expr: str, const: int) -> str:
     )
 
 
+IDX_MUL = 0xD6E8FEB86659FD93
+SEED_MUL = 0x2545F4914F6CDD1D
+
+
+def hash_u64_cols(idx_expr: str, seed: int, stream: int, prefix: str) -> tuple[str, str]:
+    """SELECT-list fragment computing ``fixtures.rng.hash_u64(idx, seed,
+    stream)`` bit-exactly via DuckDB lateral column aliases (each mix step
+    is one alias referencing the previous — no exponential expression
+    blowup). Returns ``(fragment, hash_column_name)``; parity validated in
+    tests/test_sql_parity.py."""
+    c0 = (seed * SEED_MUL + stream * GAMMA + GAMMA) % M64
+    p = prefix
+    frag = (
+        f"CAST((CAST({_u64mul(idx_expr, IDX_MUL)} AS HUGEINT) + {c0})"
+        f" % {M64} AS UBIGINT) AS {p}_z0, "
+        f"xor({p}_z0, {p}_z0 >> 30) AS {p}_z1, "
+        f"{_u64mul(f'{p}_z1', MIX1)} AS {p}_z2, "
+        f"xor({p}_z2, {p}_z2 >> 27) AS {p}_z3, "
+        f"{_u64mul(f'{p}_z3', MIX2)} AS {p}_z4, "
+        f"xor({p}_z4, {p}_z4 >> 31) AS {p}_h"
+    )
+    return frag, f"{p}_h"
+
+
+def uniform_expr(hash_col: str) -> str:
+    """U[0,1) float64 from a hash column — ``(h >> 11) / 2^53`` is an exact
+    IEEE division, so numpy and DuckDB agree bit-for-bit."""
+    return f"(CAST(({hash_col} >> 11) AS DOUBLE) / 9007199254740992.0)"
+
+
+def randint_expr(hash_col: str, lo: int, hi: int) -> str:
+    """Integer in [lo, hi) from a hash column (rng.randint parity)."""
+    return f"({lo} + CAST({hash_col} % {hi - lo} AS BIGINT))"
+
+
 def simhash_ctes(docs_cte: str, seed: int = 11) -> str:
     """CTE chain computing ``fp(doc_id, sh_u UBIGINT, sh BIGINT)`` — the
     64-bit SimHash of ``docs_cte(doc_id, text)`` — matching
@@ -106,4 +141,167 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 ORDER BY id_a, id_b
+"""
+
+
+def span_kind_stats_sql(n_docs: int = 2000, seed: int = 42) -> str:
+    """Per-kind span census over the interleaved fixture, regenerated in
+    SQL: fixtures.documents.documents_batch's span layout (n_spans, kind,
+    word picks) is pure splitmix64 integer math, so the kind counts and
+    char sums are reproducible bit-exactly without the corpus."""
+    from ..fixtures.documents import _VOCAB
+
+    lens = "[" + ", ".join(str(len(w)) for w in _VOCAB) + "]"
+    nv = len(_VOCAB)
+    h_ns, c_ns = hash_u64_cols("id", seed, 1, "ns")
+    h_k, c_k = hash_u64_cols("span_key", seed, 2, "kk")
+    h1, c1 = hash_u64_cols("span_key", seed, 3, "w1")
+    h2, c2 = hash_u64_cols("span_key", seed, 4, "w2")
+    h3, c3 = hash_u64_cols("span_key", seed, 5, "w3")
+    return f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range({n_docs})),
+ns AS (SELECT id, {h_ns}, {randint_expr(c_ns, 1, 9)} AS n_spans FROM ids),
+sp AS (SELECT id, unnest(range(n_spans)) AS ord FROM ns),
+sk AS (SELECT id * 131 + ord AS span_key, ord FROM sp),
+kx AS (SELECT span_key, {h_k},
+              CASE WHEN ord = 0 THEN 0 ELSE {randint_expr(c_k, 0, 3)} END AS kind_ix
+       FROM sk),
+ch AS (SELECT kind_ix, {h1}, {h2}, {h3},
+              CASE WHEN kind_ix = 0 THEN
+                     list_extract({lens}, {randint_expr(c1, 0, nv)} + 1)
+                   + list_extract({lens}, {randint_expr(c2, 0, nv)} + 1)
+                   + list_extract({lens}, {randint_expr(c3, 0, nv)} + 1) + 2
+                   ELSE 0 END AS chars
+       FROM kx)
+SELECT CASE kind_ix WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+       count(*) AS n, CAST(sum(chars) AS BIGINT) AS chars
+FROM ch GROUP BY kind_ix
+"""
+
+
+def validate_schedules_sql(
+    n_rotations: int = 60, seed: int = 42, invalid_frac: float = 0.3
+) -> str:
+    """Schedule validator over the splitmix-generated rotations fixture.
+
+    Only the harvest-pairing rule can fire on this fixture (years are
+    continuous and dates monotonic by construction; the broken variant
+    drops year 1's harvest op), and it fires iff year 1's crop never
+    recurs in a later year — reproduced here by regenerating the per-year
+    crop draws and checking for that rescue."""
+    h_ny, c_ny = hash_u64_cols("r", seed, 60, "ny")
+    h_br, c_br = hash_u64_cols("r", seed, 61, "br")
+    h_cr, c_cr = hash_u64_cols("k", seed, 62, "cr")
+    return f"""
+WITH rot AS (SELECT CAST(range AS BIGINT) AS r FROM range({n_rotations})),
+ny AS (SELECT r, {h_ny}, {randint_expr(c_ny, 1, 4)} AS n_years,
+              {h_br}, {uniform_expr(c_br)} < {invalid_frac} AS broken
+       FROM rot),
+yr AS (SELECT r, broken, 1 + unnest(range(n_years)) AS y FROM ny),
+cc AS (SELECT r, broken, y, r * 101 + y AS k FROM yr),
+cr AS (SELECT r, broken, y, {h_cr}, {randint_expr(c_cr, 1, 5)} AS crop FROM cc),
+c1 AS (SELECT r, broken, crop AS crop1 FROM cr WHERE y = 1),
+rescue AS (SELECT DISTINCT a.r FROM c1 a JOIN cr b
+           ON b.r = a.r AND b.y > 1 AND b.crop = a.crop1),
+v AS (SELECT c1.r, c1.crop1, (c1.broken AND rescue.r IS NULL) AS bad
+      FROM c1 LEFT JOIN rescue ON rescue.r = c1.r)
+SELECT 'rot-' || lpad(CAST(r AS VARCHAR), 5, '0') AS opc_id,
+       NOT bad AS is_valid,
+       CASE WHEN bad THEN 'Crop ' || CAST(crop1 AS VARCHAR)
+                          || ' does not have any harvest codes'
+            ELSE '' END AS message
+FROM v
+"""
+
+
+def validate_weather_daily_sql(
+    n_grids: int = 8, start_year: int = 2019, end_year: int = 2020,
+    gap_mod: int = 211,
+) -> str:
+    """DLY missing-dates validator: the Ray query drops fixture rows whose
+    key (grid*100003 + doy + year) hits gap_mod, so the validator's
+    missing-row counts are data-dependent; the fixture's value columns are
+    in physical range by construction, so only that rule can fire."""
+    return f"""
+WITH days AS (
+  SELECT year(d) AS yr, dayofyear(d) AS doy
+  FROM (SELECT generate_series AS d
+        FROM generate_series(DATE '{start_year}-01-01',
+                             DATE '{end_year}-12-31', INTERVAL 1 DAY))
+),
+g AS (SELECT CAST(range AS BIGINT) AS grid_id FROM range({n_grids})),
+miss AS (
+  SELECT grid_id,
+         count(*) FILTER (WHERE (grid_id * 100003 + doy + yr) % {gap_mod} = 0)
+           AS nmiss
+  FROM g CROSS JOIN days GROUP BY grid_id
+)
+SELECT grid_id, nmiss = 0 AS is_valid,
+       CASE WHEN nmiss > 0
+            THEN 'Missing rows for ' || CAST(nmiss AS VARCHAR) || ' dates'
+            ELSE '' END AS message
+FROM miss
+"""
+
+
+def winnow_pairs_sql(
+    docs_cte: str, k: int = 5, window: int = 8,
+    min_shared: int = 3, max_df: int = 16,
+) -> str:
+    """Winnowing overlap pairs (id_a, id_b, n_shared) of ``docs_cte(doc_id,
+    text)`` — matching stages/text.winnow_overlap_pairs bit-exactly.
+
+    The rolling k-gram hash (stages/dedup.char_rolling_hashes) is a
+    weighted codepoint sum mod 2^64 + xorshift*GAMMA mix; its weight
+    constants come from numpy's seeded generator and are inlined here as
+    literals. Window-minimum selection is a SQL window function; texts
+    shorter than k take the reference's single-shingle branch (weighted
+    sum + n, unmixed)."""
+    import numpy as np
+
+    w = (np.random.default_rng(4321)
+         .integers(1, 1 << 62, size=max(k, 16), dtype=np.uint64)
+         | np.uint64(1))[:k]
+    roll = " + ".join(f"cp[p + {j}] * {int(w[j])}" for j in range(k))
+    wlist = "[" + ", ".join(str(int(x)) for x in w) + "]"
+    hsum = f"CAST(({roll}) % {M64} AS UBIGINT)"
+    mixed = _u64mul(f"xor({hsum}, {hsum} >> 31)", GAMMA)
+    return f"""
+codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT)) AS cp
+  FROM {docs_cte}
+),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN len(cp) < {k} THEN
+      [CAST((COALESCE(list_sum(list_transform(range(len(cp)),
+                                j -> cp[j + 1] * {wlist}[j + 1])), 0)
+             + len(cp)) % {M64} AS UBIGINT)]
+    ELSE
+      list_transform(range(1, len(cp) - {k} + 2), p -> {mixed})
+    END AS hl
+  FROM codes
+),
+hflat AS (
+  SELECT doc_id, unnest(hl) AS h, generate_subscripts(hl, 1) AS pos,
+         len(hl) AS n
+  FROM hs
+),
+wmins AS (
+  SELECT doc_id, pos, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m
+  FROM hflat
+),
+fp AS (
+  SELECT DISTINCT doc_id, m AS f FROM wmins
+  WHERE n > {window} AND pos <= n - {window} + 1
+  UNION
+  SELECT doc_id, min(h) AS f FROM hflat WHERE n <= {window} GROUP BY doc_id
+),
+df AS (SELECT f, count(*) AS d FROM fp GROUP BY f),
+good AS (SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f)
+         WHERE df.d BETWEEN 2 AND {max_df})
 """

@@ -613,14 +613,34 @@ def embedding_dup_pairs_q(sf_dir: str):
     return out.sort(["id_a", "id_b"])
 
 
-@register("winnow_overlap_pairs")
+_WINNOW_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'rewritten intro. ' || text || ' rewritten outro.' AS text
+  FROM documents WHERE doc_id < 16
+),
+{{ctes}}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM good a JOIN good b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "winnow_overlap_pairs",
+    _WINNOW_SQL.format(ctes=_oracle_sql.winnow_pairs_sql("d0")),
+)
 def winnow_overlap_pairs_q(sf_dir: str):
     """Winnowing substring-overlap pairs (MOSS-style, SIGMOD'03) over the
     documents table augmented with deterministic twins of the first 16
     docs (a long verbatim passage spliced in-stream — no side data): docs
     sharing >= 3 selected rolling-hash fingerprints, ubiquitous
-    fingerprints (df > 16) dropped. Guarantee/count semantics locked in
-    tests -> rows-only here."""
+    fingerprints (df > 16) dropped. Bit-exact SQL oracle: the rolling-hash
+    weights are inlined constants and window-min is a SQL window function
+    (oracle_sql.winnow_pairs_sql)."""
     from ..stages.text import winnow_overlap_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -742,9 +762,11 @@ def opc_phu_update(sf_dir: str):
     return sched.groupby("opc_id").map_groups(phu, batch_format="pandas")
 
 
-@register("validate_schedules")
+@register("validate_schedules", _oracle_sql.validate_schedules_sql())
 def validate_schedules_q(sf_dir: str):
-    """Validator sweep over schedules with planted defects (M8)."""
+    """Validator sweep over schedules with planted defects (M8). The
+    fixture is pure splitmix64 integer math, so the oracle regenerates it
+    in SQL and replays the only rule that can fire (harvest pairing)."""
     from ..fixtures.schedules import schedules_table
     from ..stages.schedule_ops import validate_schedule
 
@@ -757,18 +779,30 @@ def validate_schedules_q(sf_dir: str):
     return sched.groupby("opc_id").map_groups(v, batch_format="pandas")
 
 
-@register("validate_weather_daily")
+@register("validate_weather_daily", _oracle_sql.validate_weather_daily_sql())
 def validate_weather_daily(sf_dir: str):
-    """DLY validator per grid cell over fixture weather (M7)."""
+    """DLY validator per grid cell over fixture weather (M7), with
+    deterministic planted gaps: rows whose fixture key (grid*100003 +
+    doy + year) hits a modulus are dropped, so each grid's missing-dates
+    count is data-dependent and the oracle can recount them in SQL."""
     from ..fixtures.weather import weather_daily_table
     from ..stages.validate import validate_dly_group
 
     w = rd.from_arrow(weather_daily_table(np.arange(8), years=(2019, 2020)))
 
+    def gaps(b: pd.DataFrame) -> pd.DataFrame:
+        doy = pd.to_datetime(b["date"]).dt.dayofyear.to_numpy(np.int64)
+        key = b["grid_id"].to_numpy(np.int64) * 100003 + doy + b["year"].to_numpy(np.int64)
+        return b[key % 211 != 0]
+
     def v(g: pd.DataFrame) -> pd.DataFrame:
         return validate_dly_group(g, 2019, 2020)
 
-    return w.groupby("grid_id").map_groups(v, batch_format="pandas")
+    return (
+        w.map_batches(gaps, batch_format="pandas")
+        .groupby("grid_id")
+        .map_groups(v, batch_format="pandas")
+    )
 
 
 @register("smooth_profile")
@@ -1324,7 +1358,39 @@ def pushdown_read(sf_dir: str):
 # --- SIT validator through the gate ------------------------------------------
 
 
-@register("validate_sites")
+def _validate_sites_sql() -> str:
+    from ..geo.extent import doc_point_sql
+
+    lat, lon = doc_point_sql("doc_id")
+    return f"""
+WITH s AS (
+  SELECT doc_id, {lat} AS lat, {lon} AS lon,
+         CASE WHEN doc_id % 97 = 0 THEN 9000.0
+              ELSE 300.0 + (doc_id % 50) END AS elevation,
+         CAST(doc_id % 80 AS DOUBLE) AS slope_length,
+         (doc_id % 10) / 10.0 AS slope_steep
+  FROM documents
+),
+m AS (
+  SELECT doc_id, CASE
+    WHEN NOT (lat BETWEEN -90 AND 90)
+      THEN 'Latitude should be between -90 and 90.'
+    WHEN NOT (lon BETWEEN -180 AND 180)
+      THEN 'Longitude should be between -180 and 180.'
+    WHEN NOT (elevation BETWEEN -200 AND 8000)
+      THEN 'Elevation should be between -200 and 8000.'
+    WHEN NOT (slope_steep BETWEEN 0 AND 1)
+      THEN 'Slope steepness should be between 0 and 1.'
+    WHEN NOT (slope_length BETWEEN 0 AND 90)
+      THEN 'Slope length should be between 0 and 90.'
+    ELSE '' END AS message
+  FROM s
+)
+SELECT doc_id AS site_id, message = '' AS is_valid, message FROM m
+"""
+
+
+@register("validate_sites", _validate_sites_sql())
 def validate_sites(sf_dir: str):
     """M8 SIT validation over a derived site table (lat/lon from the doc
     points, synthetic elevation/slope with planted violations)."""

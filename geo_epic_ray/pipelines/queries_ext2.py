@@ -469,7 +469,13 @@ def span_roundtrip(sf_dir: str):
     )
 
 
-@register("span_kind_stats")
+def _span_kind_stats_sql() -> str:
+    from . import oracle_sql
+
+    return oracle_sql.span_kind_stats_sql(n_docs=2000)
+
+
+@register("span_kind_stats", _span_kind_stats_sql())
 def span_kind_stats(sf_dir: str):
     """Per-kind span census over the interleaved corpus: explode (zero-copy
     Arrow flatten) -> partial counts/char-sums per kind -> tiny grouped
