@@ -332,21 +332,28 @@ def bucketed_pairs(
 
     cols = [key_col, id_col] + list(payload_cols or [])
 
-    def bucket_of(b: pd.DataFrame) -> np.ndarray:
-        h = b[key_col].to_numpy(dtype=np.int64).view(np.uint64)
+    def bucket_of(t: pa.Table) -> np.ndarray:
+        h = t.column(key_col).to_numpy(zero_copy_only=False).view(np.uint64)
         return (h % np.uint64(n_buckets)).astype(np.int64)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    bucket_of.wants_arrow = True
+    bucket_of.needs_cols = [key_col]
+
+    def pairs_in_bucket(g: pa.Table) -> pd.DataFrame:
         a, b, order = keyed_id_pairs(
-            g[key_col].to_numpy(), g[id_col].to_numpy()
+            g.column(key_col).to_numpy(zero_copy_only=False),
+            g.column(id_col).to_numpy(zero_copy_only=False),
         )
         if not a.size:
             return pd.DataFrame(
                 {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
             )
-        ids = g[id_col].to_numpy()[order]
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)[order]
         if payload_cols and pair_filter is not None:
-            pv = [g[c].to_numpy()[order] for c in payload_cols]
+            pv = [
+                g.column(c).to_numpy(zero_copy_only=False)[order]
+                for c in payload_cols
+            ]
             keep = pair_filter([v[a] for v in pv], [v[b] for v in pv])
             a, b = a[keep], b[keep]
             if not a.size:
@@ -357,8 +364,10 @@ def bucketed_pairs(
         cand = pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
         return cand.drop_duplicates(["id_a", "id_b"])
 
+    pairs_in_bucket.wants_arrow = True
+
     parts = exchange.scatter(
-        kb.map_batches(lambda b: b[cols], batch_format="pandas"),
+        kb.map_batches(lambda t: t.select(cols), batch_format="pyarrow"),
         n_buckets,
         bucket_of,
     )
@@ -390,10 +399,10 @@ def pair_payload_verify(
     exchange."""
     from . import exchange
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        a = b["id_a"].to_numpy()
-        bb = b["id_b"].to_numpy()
-        return pd.DataFrame(
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        bb = t.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 id_col: np.concatenate([a, bb]),
                 "id_a": np.concatenate([a, a]),
@@ -401,21 +410,29 @@ def pair_payload_verify(
             }
         )
 
-    members = cand.map_batches(explode, batch_format="pandas")
+    members = cand.map_batches(explode, batch_format="pyarrow")
     if payload_cols is not None:
         pcols = [id_col] + list(payload_cols)
-        payload = payload.map_batches(lambda b: b[pcols], batch_format="pandas")
+        payload = payload.map_batches(
+            lambda t: t.select(pcols), batch_format="pyarrow"
+        )
     key = exchange.hash_bucket_fn(id_col, n_buckets)
     mparts, pparts = exchange.scatter_pair(members, key, payload, key, n_buckets)
 
-    def join2(mdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
-        # inner join: a pair member without payload (caller-supplied
-        # subset) simply drops here; the pair itself dies in `run` below
-        j = mdf.merge(pdf, on=id_col, how="inner")
-        j["__pb"] = pair_bucket_keys(
-            j["id_a"].to_numpy(), j["id_b"].to_numpy(), n_buckets
+    def join2(mtbl: pa.Table, ptbl: pa.Table) -> pa.Table:
+        # inner join (Acero hash join — large binary payload columns stay
+        # in Arrow buffers instead of round-tripping through pandas object
+        # arrays): a pair member without payload (caller-supplied subset)
+        # simply drops here; the pair itself dies in `run` below
+        j = mtbl.join(ptbl.combine_chunks(), keys=id_col, join_type="inner")
+        pb = pair_bucket_keys(
+            j.column("id_a").to_numpy(zero_copy_only=False),
+            j.column("id_b").to_numpy(zero_copy_only=False),
+            n_buckets,
         )
-        return j
+        return j.append_column("__pb", pa.array(pb))
+
+    join2.wants_arrow = True
 
     jempty = pd.DataFrame(
         {
@@ -434,8 +451,10 @@ def pair_payload_verify(
         ok = g["id_a"].isin(present).to_numpy() & g["id_b"].isin(present).to_numpy()
         return verify_bucket_fn(g[ok] if not ok.all() else g)
 
+    # prune to __pb in the scatter task: without needs_cols the bucket fn
+    # would force a whole-block pandas conversion of the binary payload
     jparts = exchange.scatter(
-        joined, n_buckets, lambda df: df["__pb"].to_numpy(dtype=np.int64)
+        joined, n_buckets, exchange.column_values_bucket_fn("__pb")
     )
     if empty_out is None:
         # schema probe: verify_bucket_fn MUST handle a column-less empty

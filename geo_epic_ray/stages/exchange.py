@@ -239,6 +239,19 @@ def hash_bucket_fn(col: str, n_buckets: int, *, salt: int = 0) -> BucketFn:
     return f
 
 
+def column_values_bucket_fn(col: str) -> BucketFn:
+    """Bucketer for a precomputed bucket-id column: the values ARE the
+    bucket ids. Arrow-native with column pruning, so blocks carrying
+    heavy payload columns are never converted just to read the ids."""
+
+    def f(tbl: pa.Table) -> np.ndarray:
+        return tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    f.wants_arrow = True
+    f.needs_cols = [col]
+    return f
+
+
 def scatter_pair(
     ds_a: rd.Dataset,
     fn_a: BucketFn,
