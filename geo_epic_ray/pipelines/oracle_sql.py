@@ -244,6 +244,50 @@ FROM miss
 """
 
 
+def embedding_pairs_sql(
+    threshold: float = 0.9, n_twins: int = 32, seed: int = 9000,
+    stream: int = 3, scale: float = 0.04,
+) -> str:
+    """All-pairs exact-cosine >= threshold over the embeddings table
+    augmented with deterministic multiplicative-jitter twins of the first
+    ``n_twins`` vectors: twin_j = float32(x_j * (1 + scale*(2u-1))) with
+    u = splitmix64-uniform(vec_id*64 + j) — pure per-element arithmetic
+    (no reductions), so numpy and DuckDB produce bit-identical float32
+    twins. Cosine rounded half-to-even to 6 on both sides; valid as the
+    LSH query's oracle because every true pair here has cosine ~0.9996
+    (miss probability < 1e-6 at 8 tables x 12 planes) and the nearest
+    natural pair sits below 0.61."""
+    frag, h = hash_u64_cols("(e.vec_id * 64 + (t.j - 1))", seed, stream, "tw")
+    u = uniform_expr(h)
+    return f"""
+WITH nat AS (
+  SELECT e.vec_id, t.j, CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE) AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) t(j)
+),
+twin AS (
+  SELECT vec_id, j, x FROM (
+    SELECT {frag},
+           e.vec_id + 1000000 AS vec_id, t.j,
+           CAST(CAST(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+                * (1.0 + {scale} * ({u} * 2.0 - 1.0)) AS REAL) AS DOUBLE) AS x
+    FROM embeddings e, unnest(generate_series(1, len(e.embedding))) t(j)
+    WHERE e.vec_id < {n_twins}
+  )
+),
+vecs AS (SELECT * FROM nat UNION ALL SELECT * FROM twin),
+norms AS (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+          FROM vecs GROUP BY 1),
+nv AS (SELECT v.vec_id, v.j, v.x / n.nrm AS u
+       FROM vecs v JOIN norms n USING (vec_id)),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.u * b.u) AS c
+  FROM nv a JOIN nv b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2 HAVING sum(a.u * b.u) >= {threshold}
+)
+SELECT id_a, id_b, round_even(c, 6) AS cosine FROM sims ORDER BY id_a, id_b
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

@@ -521,17 +521,53 @@ def ivf_topk_cosine(sf_dir: str):
 # --- engine-only pipelines (rows-only checks) -------------------------------
 
 
-@register("minhash_lsh_pairs")
+_MINHASH_PAIRS_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(1, length(text) - 4))) AS i
+        FROM documents)
+),
+nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round_even(ni * 1.0 / (na.n + nb2.n - ni), 6) AS jaccard
+FROM inter
+JOIN nsh na  ON na.doc_id  = id_a
+JOIN nsh nb2 ON nb2.doc_id = id_b
+WHERE ni * 1.0 / (na.n + nb2.n - ni) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("minhash_lsh_pairs", _MINHASH_PAIRS_SQL)
 def minhash_lsh_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates over the documents table, verified
     with exact Jaccard >= 0.5 (low threshold so the pipeline always has
     work at gate scale). Fully distributed: no driver merge, no
-    full-corpus broadcast (stages/dedup.py:minhash_dedup_pairs)."""
+    full-corpus broadcast (stages/dedup.py:minhash_dedup_pairs).
+
+    Oracle: the DuckDB ALL-PAIRS exact char-5-gram Jaccard >= 0.5 — valid
+    because the engine's verify stage gates every emitted pair on the
+    same exact Jaccard, and LSH recall is deterministic on the fixed
+    corpus: every true pair here has J >= 0.92, where the (b=16, r=4)
+    miss probability is (1 - J^4)^16 < 1e-9 (the nearest non-pair sits
+    below J = 0.35, a clean margin). Jaccard rounded half-to-even to 6
+    on both sides (numpy round == DuckDB round_even)."""
     from ..stages.dedup import minhash_dedup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16)
-    return out.sort(["id_a", "id_b"])
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        b["jaccard"] = b["jaccard"].round(6)
+        return b
+
+    return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
 
 
 @register("simhash_fingerprints", _oracle_sql.simhash_fingerprints_sql())
@@ -577,14 +613,22 @@ def simhash_dup_pairs_q(sf_dir: str):
     return out.sort(["id_a", "id_b"])
 
 
-@register("embedding_dup_pairs")
+@register("embedding_dup_pairs", _oracle_sql.embedding_pairs_sql())
 def embedding_dup_pairs_q(sf_dir: str):
     """Hyperplane-LSH embedding near-dedup: the vector table is augmented
     with deterministic perturbed twins of the first 32 vectors (cosine
-    ~0.99 planted near-dups, derived in-stream — no side data), then
+    ~0.9996 planted near-dups, derived in-stream — no side data), then
     bucketed candidate generation + exact-cosine verify at threshold 0.9
     finds them without any all-pairs scan or full-matrix broadcast. The
-    exact-twin check vs brute force lives in tests/test_dedup_text.py."""
+    exact-twin check vs brute force lives in tests/test_dedup_text.py.
+
+    Oracle: DuckDB ALL-PAIRS exact cosine >= 0.9 over naturals + twins —
+    the twin jitter is pure per-element splitmix64 arithmetic (no
+    reductions), so SQL regenerates the float32 twins bit-exactly; valid
+    because the engine's verify gates every pair on the same exact
+    cosine, LSH miss probability at cosine 0.9996 is < 1e-6, and the
+    nearest natural pair sits below 0.61 (measured at sf0.001/0.01/0.1)."""
+    from ..fixtures.rng import uniform as _sm_uniform
     from ..stages.dedup import embedding_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -594,13 +638,14 @@ def embedding_dup_pairs_q(sf_dir: str):
         if not len(sel):
             return b
         emb = np.stack(sel.embedding.to_numpy())
+        d = emb.shape[1]
         twins = []
         for vid, v in zip(sel.vec_id.to_numpy(), emb):
-            rng = np.random.default_rng(9000 + int(vid))  # per-row seed:
-            t = v.astype(np.float64) + 0.05 * np.linalg.norm(v) / np.sqrt(
-                v.size
-            ) * rng.standard_normal(v.size)
-            twins.append(t.astype(emb.dtype))  # batching-independent determinism
+            # batching-independent AND SQL-reproducible: per-element
+            # multiplicative jitter from the stateless splitmix64 stream
+            idx = int(vid) * d + np.arange(d, dtype=np.int64)
+            g = _sm_uniform(idx, 9000, 3) * 2.0 - 1.0
+            twins.append((v.astype(np.float64) * (1.0 + 0.04 * g)).astype(emb.dtype))
         extra = pd.DataFrame(
             {"vec_id": sel.vec_id.to_numpy() + 1_000_000, "embedding": twins}
         )
@@ -610,7 +655,12 @@ def embedding_dup_pairs_q(sf_dir: str):
     out = embedding_dup_pairs(
         aug, threshold=0.9, n_tables=8, n_planes=12, dim=64
     )
-    return out.sort(["id_a", "id_b"])
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        b["cosine"] = b["cosine"].round(6)
+        return b
+
+    return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
 
 
 _WINNOW_SQL = f"""
