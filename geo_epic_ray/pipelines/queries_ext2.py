@@ -24,8 +24,7 @@ _LANGS = ["de", "en", "es", "fr", "zh"]
 # keep-one-canonical cluster ids. The engine runs the GENERIC distributed
 # hash-to-min algorithm (stages/components.py); the oracle computes the
 # same fixpoint with a recursive transitive closure (fine at gate scale).
-_CC_SQL = """
-WITH RECURSIVE pairs AS (
+_EDGE_CTES = """pairs AS (
   SELECT d1.doc_id AS id_a, d2.doc_id AS id_b, d1.text AS ta, d2.text AS tb
   FROM documents d1 JOIN documents d2
     ON d1.n_chars = d2.n_chars AND d1.lang = d2.lang AND d2.doc_id > d1.doc_id
@@ -45,23 +44,65 @@ inter AS (
 ),
 na AS (SELECT id_a, id_b, count(*) AS n FROM sa GROUP BY 1, 2),
 nb AS (SELECT id_a, id_b, count(*) AS n FROM sb GROUP BY 1, 2),
-edges AS (
+edges AS MATERIALIZED (
   SELECT na.id_a, na.id_b
   FROM na JOIN nb ON na.id_a = nb.id_a AND na.id_b = nb.id_b
   LEFT JOIN inter ON na.id_a = inter.id_a AND na.id_b = inter.id_b
   WHERE COALESCE(inter.n, 0) * 1.0
         / (na.n + nb.n - COALESCE(inter.n, 0)) >= 0.2
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM edges
   UNION ALL SELECT id_b, id_a FROM edges
-),
-reach AS (
+)"""
+
+_REACH_CTE = """reach AS (
   SELECT doc_id AS src, doc_id AS dst FROM documents
   UNION
   SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
-)
+)"""
+
+_CC_SQL = f"""
+WITH RECURSIVE {_EDGE_CTES},
+{_REACH_CTE}
 SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1
+"""
+
+
+def _pagerank_canonical_sql(n_iter: int = 15, damping: float = 0.85) -> str:
+    """Unrolled power iteration (one CTE per round) over the blocked
+    near-dup edges — bit-matching stages/components.pagerank's update
+    rank' = (1-d)/n + d * sum(rank/deg) over edge endpoints — joined with
+    the recursive-closure components; canonical = highest ROUNDED rank,
+    tie -> min doc_id (the engine sorts on the rounded rank too, so the
+    two sides order identically)."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT s.b AS node,
+         (1.0 - {damping}) / nn.n + {damping} * sum(p.r / d.d) AS r
+  FROM pr{i - 1} p JOIN sym s ON s.a = p.node JOIN deg d ON d.a = p.node, nn
+  GROUP BY s.b, nn.n
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH RECURSIVE {_EDGE_CTES},
+deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT a AS node, 1.0 / nn.n AS r FROM deg, nn),
+{chain},
+{_REACH_CTE},
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1)
+SELECT c.doc_id, c.component,
+       round_even(COALESCE(p.r, 0.0), 6) AS rank,
+       row_number() OVER (
+         PARTITION BY c.component
+         ORDER BY round_even(COALESCE(p.r, 0.0), 6) DESC, c.doc_id
+       ) = 1 AS canonical
+FROM comp c LEFT JOIN {prev} p ON p.node = c.doc_id
+ORDER BY c.doc_id
 """
 
 
@@ -612,7 +653,7 @@ def incremental_dedup_new(sf_dir: str):
     return novel_fast.select_columns(["doc_id"]).union(rescued)
 
 
-@register("pagerank_canonical")
+@register("pagerank_canonical", _pagerank_canonical_sql())
 def pagerank_canonical(sf_dir: str):
     """Centrality-based canonical-document selection: PageRank over the
     blocked near-dup graph (stages/components.py pagerank — BSP task
