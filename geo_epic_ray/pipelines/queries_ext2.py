@@ -312,16 +312,68 @@ def pivot_lang_counts(sf_dir: str):
     )
 
 
-# --- distributed k-means (rows-only: iterative, not SQL-expressible) ---------
+# --- distributed k-means (oracle: unrolled Lloyd iterations in SQL) ----------
 
 
-@register("kmeans_embeddings")
+def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
+    """Unrolled Lloyd k-means matching stages/cluster.kmeans_fit: init =
+    the k smallest vec_ids, each round assigns by squared-L2 argmin (tie
+    -> lowest centroid id, same as np.argmin) and re-means non-empty
+    clusters (empty ones keep their previous centroid); the reported
+    stats are the LAST round's assignment against the PRE-update
+    centroids, inertia rounded to 3. The engine computes distances in
+    the expanded |x|^2 - 2x.c + |c|^2 form and SQL in the direct
+    sum-of-squares form — equal up to ~1e-12, far inside both the
+    assignment margins of this corpus and the round-3 inertia grid."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f"""d{i} AS (
+  SELECT v.vec_id, c.cid, sum((v.x - c.val) * (v.x - c.val)) AS d2
+  FROM v JOIN c{i - 1} c ON c.j = v.j GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.cid, p.j, COALESCE(m.mu, p.val) AS val
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT a.cid, v.j, sum(v.x) / count(*) AS mu
+    FROM a{i} a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2
+  ) m ON m.cid = p.cid AND m.j = p.j
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT e.vec_id, t.j, CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE) AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) t(j)
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, j, x AS val
+  FROM v WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+{chain}
+SELECT g.cid AS centroid_id,
+       COALESCE(s.n, 0) AS n,
+       round_even(COALESCE(s.sse, 0.0), 3) AS inertia
+FROM (SELECT unnest(generate_series(0, {k - 1})) AS cid) g
+LEFT JOIN (SELECT cid, count(*) AS n, sum(d2) AS sse
+           FROM a{n_iter} GROUP BY 1) s ON s.cid = g.cid
+ORDER BY centroid_id
+"""
+
+
+@register("kmeans_embeddings", _kmeans_sql())
 def kmeans_embeddings(sf_dir: str):
     """Lloyd k-means over the embedding table (stages/cluster.py):
     centroids broadcast per iteration, per-batch vectorized assignment +
     partial sums, bounded driver merge. Deterministic init (k smallest
     vec_ids). Exactness vs a single-process numpy twin is locked in
-    tests/test_cluster.py; the gate checks rows-only."""
+    tests/test_cluster.py; the DuckDB oracle replays all four Lloyd
+    rounds as unrolled CTEs (bit-exact after round-3 inertia)."""
     from ..stages.cluster import kmeans_fit
 
     ds = rd.read_parquet(
