@@ -1625,14 +1625,48 @@ _attach_zonal_sql()
 # --- workspace prepare (§3.2) ------------------------------------------------
 
 
-@register("prepare_run_info")
+def _prepare_run_info_sql() -> str:
+    from ..geo import extent
+    from ..geo.extent import doc_point_sql
+    from .queries import _grid_knn_cte, _mukey_sql, _tile_sql
+
+    lat, lon = doc_point_sql("d.doc_id")
+    w = extent.N_TILE_COLS * extent.TILE_PX
+    h = extent.N_TILE_ROWS * extent.TILE_PX
+    px = (
+        f"least(greatest(CAST(floor(({lon} - {extent.LON0}) / {extent.PIXEL_DEG})"
+        f" AS BIGINT), 0), {w - 1})"
+    )
+    py = (
+        f"least(greatest(CAST(floor(({lat} - {extent.LAT0}) / {extent.PIXEL_DEG})"
+        f" AS BIGINT), 0), {h - 1})"
+    )
+    return f"""
+WITH {_grid_knn_cte()},
+raw AS (
+  SELECT d.doc_id AS site_id,
+         {_mukey_sql(lat, lon)} AS mukey,
+         knn.grid_id,
+         {_tile_sql(lat, lon)} AS tile_id,
+         {px} AS px_, {py} AS py_
+  FROM documents d JOIN knn ON d.doc_id = knn.doc_id
+)
+SELECT site_id, mukey, grid_id, tile_id,
+       200.0 + CAST((px_ * 31 + py_ * 17) % 100 AS DOUBLE) * 5.0 AS elevation,
+       round_even(CAST(((px_ + 1) * 31 + py_ * 17) % 100 AS DOUBLE) / 100.0, 2)
+         AS slope_steep
+FROM raw
+"""
+
+
+@register("prepare_run_info", _prepare_run_info_sql())
 def prepare_run_info(sf_dir: str):
     """The workspace-prepare lifecycle over the sf documents: site points
     -> PIP soil + kNN weather + tile + elevation/slope raster samples ->
     the enriched run_info table (reference workspace/prepare.py, restated
-    as one Dataset lineage). Geo columns are oracle-covered by
-    geo_enrich_full; this pipeline adds the raster-sampled enrichments ->
-    rows-only."""
+    as one Dataset lineage). Geo columns share geo_enrich_full's oracle
+    SQL; the raster-sampled elevation/slope replay the analytic band
+    (px*31 + py*17) % 100 through the same clipped inverse affine."""
     from ..geo.extent import doc_point
     from .prepare import prepare_sites
 
