@@ -256,3 +256,56 @@ def test_winnow_overlap_pairs_counts_shared_prints(ray_session):
     s1 = set(hs[offs[1] : offs[2]].tolist())
     row = out[(out.id_a == 0) & (out.id_b == 1)]
     assert int(row.n_shared.iloc[0]) == len(s0 & s1)
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """Prefix filtering must have deterministic 100% recall — including
+    pairs sitting exactly at / barely above the threshold, where LSH
+    banding would miss a third of them."""
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import (
+        char_shingle_hashes,
+        jaccard_sorted,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = []
+    for i in range(30):
+        words = base.split()
+        # graded edits: from near-identical to ~half-overlap pairs
+        n_edit = i % 7
+        for j in range(n_edit):
+            words[(i * 3 + j) % len(words)] = f"tok{i}_{j}"
+        texts.append(" ".join(words))
+    texts += [f"totally unrelated document {i} {rng.integers(1e9)}" for i in range(10)]
+    ids = np.arange(len(texts))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(4)
+
+    thr = 0.5
+    got = ngram_jaccard_pairs(ds, threshold=thr).to_pandas()
+    got_pairs = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
+
+    hs, offs = char_shingle_hashes(texts, 5)
+    sets = [hs[offs[i] : offs[i + 1]] for i in range(len(texts))]
+    want = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if jaccard_sorted(sets[a], sets[b]) >= thr:
+                want.add((a, b))
+    assert got_pairs == want
+    assert len(want) > 20  # the corpus genuinely exercises the join
+
+
+def test_ngram_jaccard_pairs_short_docs(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = ["abc", "abc", "ab", "xyz longer doc here", "xyz longer doc here"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(5), "text": texts}))
+    out = ngram_jaccard_pairs(ds, threshold=0.99).to_pandas()
+    got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
+    assert got == {(0, 1), (3, 4)}
