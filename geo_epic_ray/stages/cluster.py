@@ -17,12 +17,19 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from .vectors import list_column_matrix
+
 
 @ray.remote
-def _km_init_block(tbl, id_col: str, vec_col: str, k: int) -> pd.DataFrame:
+def _km_init_block(tbl, id_col: str, vec_col: str, k: int):
+    """k smallest-id (id, vector) rows of one block, as numpy — Arrow
+    buffers only, no block-wide pandas conversion (see stages/vectors)."""
     if tbl.num_rows == 0:
-        return pd.DataFrame({id_col: [], vec_col: []})
-    return tbl.to_pandas().nsmallest(k, id_col)[[id_col, vec_col]]
+        return None
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    x = list_column_matrix(tbl, vec_col)
+    sel = np.argsort(ids, kind="stable")[:k]
+    return ids[sel], x[sel]
 
 
 @ray.remote
@@ -33,8 +40,7 @@ def _km_assign_block(tbl, c: np.ndarray, k: int, vec_col: str):
     d = c.shape[1]
     if tbl.num_rows == 0:
         return np.zeros(k, np.int64), np.zeros(k), np.zeros((k, d))
-    b = tbl.to_pandas()
-    x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+    x = list_column_matrix(tbl, vec_col)
     d2 = (
         (x * x).sum(axis=1)[:, None]
         - 2.0 * (x @ c.T)
@@ -72,22 +78,24 @@ def kmeans_fit(
     iteration via ``ray.put``; each task returns k dense partial rows, so
     the driver merge is bounded by k x #blocks regardless of data size."""
     refs = ds.to_arrow_refs()
-    frames = (
+    parts = (
         [
-            f
-            for f in ray.get(
+            p
+            for p in ray.get(
                 [_km_init_block.remote(r, id_col, vec_col, k) for r in refs]
             )
-            if len(f)
+            if p is not None
         ]
         if refs
         else []
     )
-    if not frames:
-        # pd.concat([]) / np.stack on zero rows would raise obscurely
+    if not parts:
+        # np.concatenate([]) would raise obscurely
         raise ValueError("kmeans_fit: input dataset has no vectors")
-    init = pd.concat(frames, ignore_index=True).nsmallest(k, id_col)
-    centroids = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+    all_ids = np.concatenate([p[0] for p in parts])
+    all_vecs = np.concatenate([p[1] for p in parts], axis=0)
+    order = np.argsort(all_ids, kind="stable")[:k]
+    centroids = all_vecs[order]
     k = centroids.shape[0]  # corpus smaller than k
     d = centroids.shape[1]
 
