@@ -244,6 +244,69 @@ FROM miss
 """
 
 
+def validate_soil_sql(seed: int = 42) -> str:
+    """SOL validator over the splitmix-generated soil fixture
+    (fixtures/soil.py soil_polygons_table), regenerated in SQL.
+
+    The header rules (albedo, hydrological group, layer count) cannot
+    fire — the fixture draws them inside their legal ranges by
+    construction — so the oracle replays only the per-layer range
+    cascade, in the reference's rule order with first-violation-wins
+    semantics (inputs.py:104-153). The found-value text relies on Python
+    repr and DuckDB's VARCHAR cast both printing shortest-round-trip
+    doubles; Layer_depth's cumulative sum is windowed (summation-order
+    deviations are killed by the fixture's round-to-3)."""
+    from ..fixtures.soil import _RANGES, LAYER_COLUMNS
+    from ..stages.validate import SOL_LAYER_RULES
+
+    h_nl, c_nl = hash_u64_cols("mukey", seed, 22, "nl")
+    h_st, c_st = hash_u64_cols("lkey", seed, 23, "st")
+    frags = [h_st]
+    vals = {}
+    for j, c in enumerate(LAYER_COLUMNS[1:]):
+        lo, hi = _RANGES[c]
+        h, hc = hash_u64_cols("lkey", seed, 30 + j, f"c{j}")
+        frags.append(h)
+        vals[c] = f"({lo!r} + {uniform_expr(hc)} * ({hi!r} - {lo!r}))"
+    vals["Layer_depth"] = (
+        f"round_even(0.01 + sum({uniform_expr(c_st)} * 0.9 + 0.1) OVER "
+        "(PARTITION BY mukey ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW), 3)"
+    )
+    branches = []
+    for col, lo, hi, zero_ok in SOL_LAYER_RULES:
+        ok = f"(v_{col} >= {lo!r} AND v_{col} <= {hi!r})"
+        if zero_ok:
+            ok = f"(v_{col} = 0 OR {ok})"
+        branches.append(
+            f"WHEN NOT {ok} THEN '{col} should be between {lo} and {hi}. "
+            f"Found ' || CAST(v_{col} AS VARCHAR) || ' at index ' || "
+            "CAST(ord AS VARCHAR) || '.'"
+        )
+    val_cols = ", ".join(f"{e} AS v_{c}" for c, e in vals.items())
+    return f"""
+WITH mk AS (SELECT CAST(range AS BIGINT) AS mukey FROM range(600)),
+nl AS (SELECT mukey, {h_nl}, {randint_expr(c_nl, 1, 11)} AS n_layers FROM mk),
+lay0 AS (SELECT mukey, unnest(range(n_layers)) AS ord FROM nl),
+lay1 AS (SELECT mukey, ord, mukey * 37 + ord AS lkey FROM lay0),
+lay2 AS (SELECT mukey, ord, {", ".join(frags)} FROM lay1),
+lay AS (SELECT mukey, ord, {val_cols} FROM lay2),
+msgs AS (
+  SELECT mukey, ord,
+         CASE {" ".join(branches)} ELSE NULL END AS msg
+  FROM lay
+),
+firstbad AS (
+  SELECT mukey, msg,
+         row_number() OVER (PARTITION BY mukey ORDER BY ord) AS rn
+  FROM msgs WHERE msg IS NOT NULL
+)
+SELECT mk.mukey, f.msg IS NULL AS is_valid, COALESCE(f.msg, '') AS message
+FROM mk LEFT JOIN (SELECT mukey, msg FROM firstbad WHERE rn = 1) f
+  USING (mukey)
+"""
+
+
 def embedding_pairs_sql(
     threshold: float = 0.9, n_twins: int = 32, seed: int = 9000,
     stream: int = 3, scale: float = 0.04,

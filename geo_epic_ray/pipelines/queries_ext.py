@@ -2001,10 +2001,13 @@ def multimodal_feature_ann(sf_dir: str):
     return out.select_columns(["media_ref", "rank"]).sort("rank")
 
 
-@register("validate_soil_table")
+@register("validate_soil_table", _oracle_sql.validate_soil_sql())
 def validate_soil_table(sf_dir: str):
     """M8 SOL validation sweep over the synthetic soil side table —
-    {mukey, is_valid, message} rows (workspace validator contract)."""
+    {mukey, is_valid, message} rows (workspace validator contract).
+    Oracle: the fixture is pure splitmix64 math, so the SQL regenerates
+    every layer value and replays the range-rule cascade bit-exactly
+    (only the per-layer rules can fire on this fixture)."""
     from ..fixtures.soil import soil_polygons_table
     from ..stages.validate import validate_sol_batch
 
