@@ -57,6 +57,106 @@ def hash_u64_cols(idx_expr: str, seed: int, stream: int, prefix: str) -> tuple[s
     return frag, f"{p}_h"
 
 
+def splitmix64_cols(x_expr: str, prefix: str) -> tuple[str, str]:
+    """SELECT-list fragment computing ``fixtures.rng.splitmix64(x)``
+    bit-exactly (the plain mix, no index/seed premultiply — this is what
+    ``stages/sketches._hash64`` applies to integer keys). Returns
+    ``(fragment, hash_column_name)``."""
+    p = prefix
+    frag = (
+        f"CAST((CAST({x_expr} AS HUGEINT) + {GAMMA}) % {M64} AS UBIGINT)"
+        f" AS {p}_z0, "
+        f"xor({p}_z0, {p}_z0 >> 30) AS {p}_z1, "
+        f"{_u64mul(f'{p}_z1', MIX1)} AS {p}_z2, "
+        f"xor({p}_z2, {p}_z2 >> 27) AS {p}_z3, "
+        f"{_u64mul(f'{p}_z3', MIX2)} AS {p}_z4, "
+        f"xor({p}_z4, {p}_z4 >> 31) AS {p}_h"
+    )
+    return frag, f"{p}_h"
+
+
+def hll_register_ctes(src_cte: str, key_expr: str, grp_cols: str = "") -> str:
+    """CTE chain replaying ``stages/sketches.HLL`` (p=12) over integer keys
+    from ``src_cte``: splitmix64 hash, top-12-bit register index, rank =
+    leading zeros of the guarded remainder + 1. The rank replicates the
+    kernel's float64-exponent extraction exactly: the remainder is cast to
+    DOUBLE first (so a value that ROUNDS UP to the next power of two gets
+    the incremented exponent, as numpy's uint64->float64 cast does), and
+    the exponent is recovered from log2 with a +-1 integer correction
+    against exact powers of two. Produces ``reg(<grp,> idx, m)`` and
+    ``hest(<grp,> z, raw_e)``; the caller applies the linear-counting
+    branch. Empty-input note: ``hest`` has no row for a group with no keys
+    — callers join against the group list when that matters."""
+    g = f"{grp_cols}, " if grp_cols else ""
+    frag, h = splitmix64_cols("k", "hl")
+    m = 1 << 12
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    return f"""
+hky AS (SELECT {g}{key_expr} AS k FROM {src_cte}),
+hhs AS (SELECT {g}{frag} FROM hky),
+hrk AS (
+  SELECT {g}CAST({h} >> 52 AS BIGINT) AS idx,
+         CAST((CAST({h} AS HUGEINT) % 4503599627370496) * 4096 + 2048
+              AS DOUBLE) AS d
+  FROM hhs),
+hex AS (
+  SELECT {g}idx, d, CAST(floor(log2(d)) AS BIGINT) AS eg FROM hrk),
+hex2 AS (
+  SELECT {g}idx,
+         CASE WHEN pow(2.0, eg) > d THEN eg - 1
+              WHEN pow(2.0, eg + 1) <= d THEN eg + 1
+              ELSE eg END AS e
+  FROM hex),
+reg AS (SELECT {g}idx, max(GREATEST(LEAST(64 - e, 53), 1)) AS m
+        FROM hex2 GROUP BY {g}idx),
+hest AS (
+  SELECT {g}{m} - count(*) AS z,
+         {alpha} * {m} * {m}
+           / (sum(pow(2.0, -CAST(m AS DOUBLE))) + ({m} - count(*)) * 1.0)
+           AS raw_e
+  FROM reg {f"GROUP BY {grp_cols}" if grp_cols else ""})"""
+
+
+HLL_EST_EXPR = (
+    "CASE WHEN raw_e <= 10240.0 AND z > 0 THEN 4096.0 * ln(4096.0 / z) "
+    "ELSE raw_e END"
+)
+
+
+def hll_distinct_users_sql() -> str:
+    """queries_ext.hll_distinct_users: HLL estimate replayed register-for-
+    register (user_id is BIGINT so the int path of _hash64 applies), exact
+    distinct from SQL, rel_err from the UNROUNDED estimate (matching the
+    Python expression order)."""
+    return f"""
+WITH du AS (SELECT DISTINCT user_id FROM events),
+{hll_register_ctes('du', 'user_id')},
+fin AS (SELECT {HLL_EST_EXPR} AS est,
+               (SELECT count(*) FROM du) AS exact
+        FROM hest)
+SELECT round_even(est, 1) AS estimate, exact,
+       round_even(abs(est - exact) / greatest(1, exact), 4) AS rel_err
+FROM fin
+"""
+
+
+def hll_distinct_per_type_sql() -> str:
+    """queries_ext.hll_distinct_per_type: grouped HLL replay. rel_err is
+    computed from the ROUNDED estimate (the pandas expression rounds
+    `estimate` in place before deriving rel_err)."""
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+{hll_register_ctes('du', 'user_id', grp_cols='event_type')},
+ex AS (SELECT event_type, count(*) AS exact FROM du GROUP BY event_type),
+fin AS (SELECT e.event_type, round_even({HLL_EST_EXPR}, 1) AS estimate,
+               ex.exact
+        FROM hest e JOIN ex USING (event_type))
+SELECT event_type, estimate, exact,
+       round_even(abs(estimate - exact) / greatest(1, exact), 4) AS rel_err
+FROM fin ORDER BY event_type
+"""
+
+
 def uniform_expr(hash_col: str) -> str:
     """U[0,1) float64 from a hash column — ``(h >> 11) / 2^53`` is an exact
     IEEE division, so numpy and DuckDB agree bit-for-bit."""

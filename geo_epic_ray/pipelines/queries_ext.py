@@ -1245,11 +1245,13 @@ def tdigest_value_quantiles(sf_dir: str):
     return pd.DataFrame(rows)
 
 
-@register("hll_distinct_users")
+@register("hll_distinct_users", _oracle_sql.hll_distinct_users_sql())
 def hll_distinct_users(sf_dir: str):
     """HyperLogLog count-distinct (mergeable per-batch sketches) with its
-    exact answer and relative error alongside — approximate by design, so
-    rows-only at the gate; accuracy asserted in tests."""
+    exact answer and relative error alongside. The estimate is
+    deterministic bit math (splitmix64 registers), so the oracle replays
+    the sketch register-for-register in SQL — bit-exact, not rows-only;
+    accuracy additionally asserted in tests."""
     from ..stages.sketches import hll_distinct
 
     from ..stages.aggregates import bucketed_group_agg
@@ -1276,7 +1278,7 @@ def hll_distinct_users(sf_dir: str):
     )
 
 
-@register("hll_distinct_per_type")
+@register("hll_distinct_per_type", _oracle_sql.hll_distinct_per_type_sql())
 def hll_distinct_per_type(sf_dir: str):
     """GROUPED HyperLogLog count-distinct (stages/sketches.py
     hll_grouped_distinct): per event type, mergeable per-(key, block)
