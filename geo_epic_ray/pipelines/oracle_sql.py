@@ -451,6 +451,60 @@ SELECT id_a, id_b, round_even(c, 6) AS cosine FROM sims ORDER BY id_a, id_b
 """
 
 
+def cms_token_counts_sql(
+    depth: int = 4, width: int = 1 << 14, min_n: int = 50, top_k: int = 20,
+) -> str:
+    """queries_ext2.cms_token_counts: the count-min sketch replayed in SQL.
+    Token keys are FNV-1a-over-codepoints + splitmix finisher (seed 0, so
+    the seed-gamma prepend is a no-op) — stages/dedup._token_hashes; row
+    counters are sums over ALL tokens colliding into (row, col) with
+    col = splitmix64((key + row*GAMMA) mod 2^64) mod width; the estimate
+    is the min over rows. Pure integer math end to end — bit-exact, and
+    merge order (per-batch sketches vs one global table) cannot matter
+    because integer addition is associative."""
+    fold = (
+        "list_reduce(list_prepend("
+        f"CAST({FNV_OFF} AS UBIGINT), "
+        "list_transform(range(1, length(tok) + 1), "
+        "i -> CAST(unicode(substr(tok, i, 1)) AS UBIGINT))), "
+        "(acc, cp) -> CAST((CAST(xor(acc, cp) AS HUGEINT) * "
+        f"{FNV_PRIME}) % {M64} AS UBIGINT))"
+    )
+    salted = (
+        f"CAST((CAST(v4 AS HUGEINT) + (CAST(r AS HUGEINT) * {GAMMA}) % {M64})"
+        f" % {M64} AS UBIGINT)"
+    )
+    frag, h = splitmix64_cols(salted, "cm")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+top AS (SELECT tok, n FROM cnt WHERE n >= {min_n}
+        ORDER BY n DESC, tok ASC LIMIT {top_k}),
+k0 AS (SELECT tok, n, {fold} AS v FROM cnt),
+k1 AS (SELECT tok, n, xor(v, v >> 30) AS v FROM k0),
+k2 AS (SELECT tok, n, {_u64mul('v', MIX1)} AS v FROM k1),
+k3 AS (SELECT tok, n, xor(v, v >> 27) AS v FROM k2),
+k4 AS (SELECT tok, n, {_u64mul('v', MIX2)} AS v FROM k3),
+keyed AS (SELECT tok, n, xor(v, v >> 31) AS v4 FROM k4),
+cols AS (
+  SELECT tok, n, r, CAST({h} % {width} AS BIGINT) AS col
+  FROM (SELECT tok, n, v4, CAST(range AS UBIGINT) AS r, {frag}
+        FROM keyed CROSS JOIN range({depth}))
+),
+tbl AS (SELECT r, col, sum(n) AS c FROM cols GROUP BY r, col),
+est AS (
+  SELECT t.tok, CAST(min(tb.c) AS BIGINT) AS cms_n
+  FROM (SELECT c2.tok, c2.r, c2.col FROM cols c2 JOIN top USING (tok)) t
+  JOIN tbl tb ON tb.r = t.r AND tb.col = t.col
+  GROUP BY t.tok
+)
+SELECT top.tok, top.n AS exact_n, est.cms_n, est.cms_n >= top.n AS one_sided_ok
+FROM top JOIN est USING (tok)
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

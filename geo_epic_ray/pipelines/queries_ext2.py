@@ -438,14 +438,22 @@ def semdedup_keep(sf_dir: str):
 # --- count-min frequency estimates (rows-only: sketch, estimate) -------------
 
 
-@register("cms_token_counts")
+def _cms_sql() -> str:
+    from . import oracle_sql
+
+    return oracle_sql.cms_token_counts_sql()
+
+
+@register("cms_token_counts", _cms_sql())
 def cms_token_counts(sf_dir: str):
     """Count-min sketch token frequencies vs exact counts for the
     heavy-hitter tokens: the CMS estimate must be >= the true count
     (one-sided error) and close at this width. Exact side reuses the
     scale-safe bucketed histogram; the CMS side is one streaming pass of
-    mergeable per-batch sketches."""
+    mergeable per-batch sketches. Keys are FNV+splitmix token hashes, so
+    the sketch itself is replayed bit-exactly by the SQL oracle."""
     from ..stages.aggregates import bucketed_group_agg
+    from ..stages.dedup import _token_hashes
     from ..stages.sketches import cms_counts
 
     # ds feeds both the exact histogram and the CMS pass — pin once
@@ -470,13 +478,18 @@ def cms_token_counts(sf_dir: str):
     top = exact.sort_values(["n", "tok"], ascending=[False, True]).head(20)
 
     def explode_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        # FNV-1a + splitmix finisher token keys (stages/dedup._token_hashes):
+        # process-independent AND replayable in SQL, unlike pandas'
+        # siphash, so the CMS estimate itself gets a bit-exact oracle
         toks = b.text.str.split(" ").explode()
-        return pd.DataFrame({"tok": toks.to_numpy()})
+        return pd.DataFrame(
+            {"tok_hash": _token_hashes(toks.tolist(), 0).view(np.int64)}
+        )
 
     est = cms_counts(
         ds.map_batches(explode_tokens, batch_format="pandas"),
-        "tok",
-        top.tok.to_numpy(),
+        "tok_hash",
+        _token_hashes(top.tok.tolist(), 0).view(np.int64),
     )
     out = top.reset_index(drop=True).copy()
     out["cms_n"] = est
