@@ -505,6 +505,118 @@ FROM top JOIN est USING (tok)
 """
 
 
+def weather_term_ctes(seed: int = 42) -> str:
+    """CTE chain regenerating ``fixtures/weather.weather_daily_table``'s
+    tmax/tmin for year 2019, months 4-10, over the decimated grid sample
+    (every 8th cell) — the exact input of ``pipelines/simulate.
+    heat_units_table``. The fixture's float32 casts absorb libm ulp noise
+    (sin/exp differences between numpy and DuckDB are ~2^-52 relative,
+    float32 rounding is 2^-24), so the REAL-cast values are bit-identical
+    to the parquet-side float32s. Produces ``hu(sgid, heat_units)``."""
+    from ..geo.extent import WEATHER_NCOLS, WEATHER_NROWS
+
+    ng = WEATHER_NROWS * WEATHER_NCOLS
+    h40, c40 = hash_u64_cols("wkey", seed, 40, "u40")
+    h41, c41 = hash_u64_cols("wkey", seed, 41, "u41")
+    return f"""
+wg AS (SELECT CAST(range AS BIGINT) * 8 AS sgid FROM range({(ng + 7) // 8})),
+wd AS (SELECT generate_series AS d
+       FROM generate_series(DATE '2019-01-01', DATE '2019-12-31',
+                            INTERVAL 1 DAY)
+       WHERE month(generate_series) BETWEEN 4 AND 10),
+wk AS (SELECT sgid, sgid * 100003 + dayofyear(d) + 2019 AS wkey,
+              sin((dayofyear(d) - 105) / 365.0 * 2 * pi()) AS season
+       FROM wg CROSS JOIN wd),
+wv AS (SELECT sgid,
+              12.0 + 14.0 * season + (sgid % 17) * 0.3 AS base_t,
+              {h40}, {h41}
+       FROM wk),
+wt AS (SELECT sgid,
+              CAST(CAST(base_t + 6.0 + {uniform_expr(c40)} * 6.0 AS REAL)
+                   AS DOUBLE) AS tmax,
+              CAST(CAST(base_t - 6.0 - {uniform_expr(c41)} * 6.0 AS REAL)
+                   AS DOUBLE) AS tmin
+       FROM wv),
+hu AS (SELECT sgid, sum(greatest((tmax + tmin) / 2 - 5.0, 0.0)) AS heat_units
+       FROM wt GROUP BY sgid)"""
+
+
+def soil_quality_cte(seed: int = 42) -> str:
+    """``pipelines/simulate.soil_quality_table`` in SQL: mean of the
+    fixture layers' Organic_Carbon draws (stream 38 = column index 8 of
+    LAYER_COLUMNS[1:]) per mukey, / 10, round-even 6 — the same rounding
+    the engine applies, so downstream consumers see identical doubles.
+    Produces ``sq(mukey, soil_quality)``."""
+    from ..fixtures.soil import _RANGES
+    from ..geo.extent import SOIL_NCOLS, SOIL_NROWS
+
+    lo, hi = _RANGES["Organic_Carbon"]
+    h_nl, c_nl = hash_u64_cols("mukey", seed, 22, "snl")
+    h_oc, c_oc = hash_u64_cols("lkey", seed, 38, "soc")
+    return f"""
+smk AS (SELECT CAST(range AS BIGINT) AS mukey
+        FROM range({SOIL_NROWS * SOIL_NCOLS})),
+snl AS (SELECT mukey, {h_nl}, {randint_expr(c_nl, 1, 11)} AS n_layers
+        FROM smk),
+slay AS (SELECT mukey, mukey * 37 + unnest(range(n_layers)) AS lkey FROM snl),
+soc AS (SELECT mukey, {h_oc},
+               ({lo!r} + {uniform_expr(c_oc)} * ({hi!r} - {lo!r})) AS oc
+        FROM slay),
+sq AS (SELECT mukey, round_even(avg(oc) / 10.0, 6) AS soil_quality
+       FROM soc GROUP BY mukey)"""
+
+
+def rasterize_yield_tiles_sql(
+    knn_cte: str, mukey_expr: str, tile_expr: str,
+) -> str:
+    """queries_ext.rasterize_yield_tiles: the pseudo-EPIC fleet replayed in
+    SQL — per-doc enrich (PIP mukey / kNN grid / tile), soil-quality and
+    seasonal-heat side tables regenerated from their splitmix fixtures,
+    ``pipelines/simulate.pseudo_yield`` inlined (round-even 4), then the
+    per-tile mean. The heat lookup snaps a grid id UP to the next
+    materialized sample cell (searchsorted-left semantics, clamped to the
+    last sample), exactly as heat_units_table's reindex does. Sum-order
+    differences between the engine's pairwise partials and SQL's
+    sequential SUM sit ~8 orders of magnitude under the round-even
+    tolerances (see heat_units_table)."""
+    from ..geo.extent import N_TILE_COLS, WEATHER_NCOLS, WEATHER_NROWS
+
+    ng = WEATHER_NROWS * WEATHER_NCOLS
+    n_sample = (ng + 7) // 8
+    return f"""
+WITH {knn_cte},
+{weather_term_ctes().lstrip()},
+{soil_quality_cte().lstrip()},
+docs_geo AS (
+  SELECT d.doc_id, {mukey_expr} AS mukey, knn.grid_id,
+         {tile_expr} AS tile_id
+  FROM documents d JOIN knn ON d.doc_id = knn.doc_id
+),
+snapped AS (
+  SELECT doc_id, mukey, tile_id,
+         8 * least((grid_id + 7) // 8, {n_sample - 1}) AS sgid,
+         grid_id
+  FROM docs_geo
+),
+yields AS (
+  SELECT g.tile_id,
+         round_even(
+           (2.0 + 6.0 * sq.soil_quality)
+             * (1.0 - exp(-hu.heat_units / 2000.0))
+           + CAST((g.mukey * 31 + g.grid_id * 17) % 97 AS DOUBLE) / 970.0,
+           4) AS y
+  FROM snapped g
+  JOIN sq USING (mukey)
+  JOIN hu USING (sgid)
+)
+SELECT tile_id, tile_id // {N_TILE_COLS} AS tile_row,
+       tile_id % {N_TILE_COLS} AS tile_col,
+       count(*) AS n_docs,
+       round_even(sum(y) / count(*), 4) AS mean_yield
+FROM yields GROUP BY tile_id
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

@@ -1745,12 +1745,22 @@ def native_join_orders_nation(sf_dir: str):
 # --- rasterize yields back to tiles (the north-star's output leg) ------------
 
 
-@register("rasterize_yield_tiles")
+def _rasterize_sql() -> str:
+    from .queries import _LAT_D, _LON_D, _grid_knn_cte, _mukey_sql, _tile_sql
+
+    return _oracle_sql.rasterize_yield_tiles_sql(
+        _grid_knn_cte(), _mukey_sql(_LAT_D, _LON_D), _tile_sql(_LAT_D, _LON_D)
+    )
+
+
+@register("rasterize_yield_tiles", _rasterize_sql())
 def rasterize_yield_tiles(sf_dir: str):
     """Crop-yield outputs rasterized back to the CDL-aligned tile lattice:
     simulation fleet -> per-tile mean yield + doc count -> tile raster
-    rows (tile_id, tile_row, tile_col, mean_yield). Partial-combined; the
-    sim stage is engine-only, so rows-only at the gate."""
+    rows (tile_id, tile_row, tile_col, mean_yield). Partial-combined. The
+    oracle replays the whole leg in SQL: the pseudo-EPIC formula and its
+    splitmix side tables (soil quality, seasonal heat) are deterministic
+    bit math, so even the sim stage gets a hash-exact check."""
     from ..geo import extent
     from ..stages.aggregates import partials_to_driver
     from .flagship import flagship_enrich

@@ -115,8 +115,13 @@ def heat_units_table(tbs: float = 5.0) -> pd.DataFrame:
     sample = gids[::8]
     w = weather_daily_table(sample, years=(2019,)).to_pandas()
     w = w[(w.month >= 4) & (w.month <= 10)]
+    # accumulate in float64 (the fixture stores float32): per-day terms are
+    # then bit-identical to a SQL replay's, and the seasonal sums agree to
+    # ~1e-12 regardless of summation order — which round(yield, 4)
+    # downstream absorbs with 8 orders of magnitude to spare
     hu = (
-        ((w.tmax + w.tmin) / 2 - tbs).clip(lower=0).groupby(w.grid_id).sum()
+        ((w.tmax.astype(np.float64) + w.tmin.astype(np.float64)) / 2 - tbs)
+        .clip(lower=0).groupby(w.grid_id).sum()
     )
     snapped = sample[np.clip(np.searchsorted(sample, gids), 0, sample.size - 1)]
     return pd.DataFrame(
