@@ -617,6 +617,97 @@ FROM yields GROUP BY tile_id
 """
 
 
+def opc_phu_update_sql(
+    n_rotations: int = 40, seed: int = 42, start_year: int = 2018,
+    years: tuple[int, int] = (2018, 2020),
+) -> str:
+    """queries_ext.opc_phu_update: the schedule fixture regenerated in SQL
+    (same streams as fixtures/schedules.schedules_table), the reference's
+    season pairing (each plantation row -> first same-crop harvest
+    strictly after, within the rotation), and OPV1 = sum of
+    clip(0.5*(tmax+tmin) - (5 + crop), 0) over grid-0 weather days
+    strictly between — weather terms bit-identical via the float32-cast
+    regen (see weather_term_ctes). Both sides round OPV1 half-to-even to
+    4 (summation-order noise ~1e-13 vs 5e-5 tolerance)."""
+    h_ny, c_ny = hash_u64_cols("r", seed, 60, "ny")
+    h_cr, c_cr = hash_u64_cols("k", seed, 62, "cr")
+    h_pm, c_pm = hash_u64_cols("k", seed, 63, "pm")
+    h_pd, c_pd = hash_u64_cols("k", seed, 64, "pd")
+    h_hm, c_hm = hash_u64_cols("k", seed, 65, "hm")
+    h_hd, c_hd = hash_u64_cols("k", seed, 66, "hd")
+    h_rt, c_rt = hash_u64_cols("k", seed, 67, "rt")
+    h_pc, c_pc = hash_u64_cols("k", seed, 68, "pc")
+    h40, c40 = hash_u64_cols("wkey", seed, 40, "u40")
+    h41, c41 = hash_u64_cols("wkey", seed, 41, "u41")
+    opv_rest = ", ".join(f"0.0 AS OPV{i}" for i in range(2, 9))
+    return f"""
+WITH rot AS (SELECT CAST(range AS BIGINT) AS r FROM range({n_rotations})),
+ny AS (SELECT r, {h_ny}, {randint_expr(c_ny, 1, 4)} AS n_years FROM rot),
+yrs AS (SELECT r, 1 + unnest(range(n_years)) AS y FROM ny),
+kk AS (SELECT r, CAST(y AS INTEGER) AS y, r * 101 + y AS k FROM yrs),
+draw AS (
+  SELECT r, y,
+         {h_cr}, {randint_expr(c_cr, 1, 5)} AS crop,
+         {h_pm}, {randint_expr(c_pm, 4, 6)} AS plant_m,
+         {h_pd}, {randint_expr(c_pd, 1, 28)} AS plant_day,
+         {h_hm}, {randint_expr(c_hm, 9, 11)} AS harv_m,
+         {h_hd}, {randint_expr(c_hd, 1, 28)} AS harv_day,
+         {h_rt}, round_even({uniform_expr(c_rt)} * 150.0, 2) AS rate,
+         {h_pc}, 2 + {randint_expr(c_pc, 0, 3)} AS plant_code
+  FROM kk),
+sched AS (
+  SELECT r, y AS Yid, plant_m AS Mn, plant_day AS Dy,
+         CAST(plant_code AS INTEGER) AS CODE, 1 AS TRAC, crop, 0 AS XMTU,
+         rate AS opv1_0
+  FROM draw
+  UNION ALL
+  SELECT r, y, plant_m + 1, 10, 71, 2, crop, 0, rate * 0.5 FROM draw
+  UNION ALL
+  SELECT r, y, harv_m, harv_day, 650, 3, crop, 0, 0.0 FROM draw
+),
+dated AS (
+  SELECT *, make_date({start_year} + Yid - 1, Mn, Dy) AS dt FROM sched
+),
+wd AS (SELECT generate_series AS d
+       FROM generate_series(DATE '{years[0]}-01-01',
+                            DATE '{years[1]}-12-31', INTERVAL 1 DAY)),
+wk AS (SELECT d, dayofyear(d) + year(d) AS wkey,
+              sin((dayofyear(d) - 105) / 365.0 * 2 * pi()) AS season
+       FROM wd),
+wv AS (SELECT d, 12.0 + 14.0 * season AS base_t, {h40}, {h41} FROM wk),
+wt AS (SELECT d,
+              CAST(CAST(base_t + 6.0 + {uniform_expr(c40)} * 6.0 AS REAL)
+                   AS DOUBLE) AS tmax,
+              CAST(CAST(base_t - 6.0 - {uniform_expr(c41)} * 6.0 AS REAL)
+                   AS DOUBLE) AS tmin
+       FROM wv),
+pl AS (SELECT r, Yid, dt AS pdate, crop FROM dated WHERE CODE IN (2, 3, 4)),
+hv AS (SELECT r, crop, dt AS hdate FROM dated WHERE CODE = 650),
+pair AS (
+  SELECT p.r, p.Yid, p.crop, p.pdate, min(h.hdate) AS hdate
+  FROM pl p LEFT JOIN hv h
+    ON h.r = p.r AND h.crop = p.crop AND h.hdate > p.pdate
+  GROUP BY p.r, p.Yid, p.crop, p.pdate
+),
+phu AS (
+  SELECT pr.r, pr.Yid, pr.crop,
+         COALESCE(sum(greatest(0.5 * (w.tmax + w.tmin)
+                               - (5.0 + pr.crop), 0.0)), 0.0) AS hu
+  FROM pair pr LEFT JOIN wt w ON w.d > pr.pdate AND w.d < pr.hdate
+  WHERE pr.hdate IS NOT NULL
+  GROUP BY pr.r, pr.Yid, pr.crop, pr.hdate
+)
+SELECT 'rot-' || lpad(CAST(s.r AS VARCHAR), 5, '0') AS opc_id,
+       {start_year} AS start_year, s.Yid, s.Mn, s.Dy, s.CODE,
+       s.TRAC, s.crop AS CRP, s.XMTU,
+       round_even(CASE WHEN s.CODE IN (2, 3, 4) AND p.hu IS NOT NULL
+                       THEN p.hu ELSE s.opv1_0 END, 4) AS OPV1,
+       {opv_rest}
+FROM sched s
+LEFT JOIN phu p ON p.r = s.r AND p.Yid = s.Yid AND s.CODE IN (2, 3, 4)
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

@@ -811,23 +811,34 @@ def quality_scores_q(sf_dir: str):
     )
 
 
-@register("opc_phu_update")
+def _opc_phu_sql() -> str:
+    return _oracle_sql.opc_phu_update_sql()
+
+
+@register("opc_phu_update", _opc_phu_sql())
 def opc_phu_update(sf_dir: str):
     """Schedule PHU update over deterministic fixtures (A6/M9): the OPC
     transform + per-rotation heat-unit accumulation from daily weather.
-    Non-SQL (stateful per-rotation pairing) -> rows-only check."""
+    The season pairing and heat sums are deterministic fixture math, so
+    the oracle replays them in SQL; OPV1 is rounded half-to-even to 4 on
+    both sides (float64 accumulation, see oracle_sql.opc_phu_update_sql)."""
     from ..fixtures.schedules import schedules_table
     from ..fixtures.weather import weather_daily_table
     from ..stages.schedule_ops import update_phu
 
     sched = rd.from_arrow(schedules_table(40))
     weather = weather_daily_table(np.array([0]), years=(2018, 2019, 2020)).to_pandas()
+    # accumulate seasonal heat in float64 (fixture stores float32): per-day
+    # terms are then bit-identical to the SQL replay's
+    weather["tmax"] = weather.tmax.astype(np.float64)
+    weather["tmin"] = weather.tmin.astype(np.float64)
     wref = ray.put(weather)
     tbs = {c: 5.0 + c for c in range(1, 6)}
 
     def phu(g: pd.DataFrame) -> pd.DataFrame:
-        w = ray.get(wref)
-        return update_phu(g, w, tbs)
+        out = update_phu(g, ray.get(wref), tbs)
+        out["OPV1"] = out.OPV1.round(4)
+        return out
 
     return sched.groupby("opc_id").map_groups(phu, batch_format="pandas")
 
