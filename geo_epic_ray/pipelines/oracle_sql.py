@@ -708,6 +708,64 @@ LEFT JOIN phu p ON p.r = s.r AND p.Yid = s.Yid AND s.CODE IN (2, 3, 4)
 """
 
 
+def smooth_profile_sql() -> str:
+    """queries_ext.smooth_profile: per-user daily-mean series -> Savitzky-
+    Golay (w=5, p=2, scipy 'interp' edges) -> rounded mean, plus the
+    season count (peaks above the 75th percentile, min-distance greedy).
+
+    The savgol weights are the EXACT rationals the pseudo-inverse
+    approximates (center kernel (-3,12,17,12,-3)/35; edge rows of the
+    quadratic LS smoothing matrix over the first/last window, denominator
+    700 = det of the normal matrix) — numpy's SVD-computed doubles differ
+    by ~1e-16, absorbed by round-even 6 of the series mean. quantile_cont
+    is bit-identical to numpy's linear interpolation (verified across
+    sizes). The greedy peak keep (highest first, ties by position,
+    reject within ceil(n/4)) runs as a list_reduce over candidates
+    sorted by (-y, pos)."""
+    return """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+ser AS (
+  SELECT user_id, list(v ORDER BY d) AS ys, count(*) AS n,
+         quantile_cont(v, 0.75) AS h
+  FROM daily GROUP BY user_id
+),
+smo AS (
+  SELECT user_id, n,
+    CASE WHEN n < 7 THEN 0.0 ELSE round_even(list_sum(
+      list_transform(range(1, n + 1), i -> CASE
+        WHEN i = 1 THEN (620*ys[1] + 180*ys[2] - 60*ys[3]
+                         - 100*ys[4] + 60*ys[5]) / 700.0
+        WHEN i = 2 THEN (180*ys[1] + 260*ys[2] + 240*ys[3]
+                         + 120*ys[4] - 100*ys[5]) / 700.0
+        WHEN i = n - 1 THEN (-100*ys[n-4] + 120*ys[n-3] + 240*ys[n-2]
+                             + 260*ys[n-1] + 180*ys[n]) / 700.0
+        WHEN i = n THEN (60*ys[n-4] - 100*ys[n-3] - 60*ys[n-2]
+                         + 180*ys[n-1] + 620*ys[n]) / 700.0
+        ELSE (-3*ys[i-2] + 12*ys[i-1] + 17*ys[i]
+              + 12*ys[i+1] - 3*ys[i+2]) / 35.0
+      END)) / n, 6) END AS smoothed_mean,
+    CASE WHEN n < 7 THEN 0 ELSE len(list_reduce(
+      list_prepend(CAST([] AS BIGINT[]),
+        list_transform(
+          list_sort(list_filter(
+            list_transform(range(2, n), p -> {ny: -ys[p], p: p}),
+            s -> -s.ny > ys[s.p - 1] AND -s.ny > ys[s.p + 1]
+                 AND -s.ny >= h)),
+          s -> [s.p])),
+      (acc, x) -> CASE
+        WHEN len(list_filter(acc,
+               q -> abs(q - x[1]) < CAST(ceil(n / 4.0) AS BIGINT))) = 0
+        THEN list_append(acc, x[1]) ELSE acc END)) END AS n_seasons
+  FROM ser
+)
+SELECT user_id, CAST(n_seasons AS BIGINT) AS n_seasons, smoothed_mean
+FROM smo
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

@@ -886,10 +886,12 @@ def validate_weather_daily(sf_dir: str):
     )
 
 
-@register("smooth_profile")
+@register("smooth_profile", _oracle_sql.smooth_profile_sql())
 def smooth_profile(sf_dir: str):
     """Per-series outlier-clean + Savitzky-Golay smoothing + season count
-    over per-user event value series (M12/M13/A7)."""
+    over per-user event value series (M12/M13/A7). The oracle replays the
+    savgol kernel (exact rational weights), the quantile threshold and the
+    greedy peak selection in SQL — hash-exact, not rows-only."""
     from ..stages.profile_ops import calc_num_seasons, smooth_series
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
