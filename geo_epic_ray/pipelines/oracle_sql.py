@@ -766,6 +766,40 @@ FROM smo
 """
 
 
+def simulation_fleet_sql(knn_cte: str, mukey_expr: str) -> str:
+    """queries_ext.simulation_fleet: per-doc pseudo-EPIC yields — the
+    same replay as rasterize_yield_tiles_sql without the tile collapse.
+    pseudo_yield rounds half-to-even to 4 inside the kernel, so the
+    per-doc values compare bit-exactly."""
+    from ..geo.extent import WEATHER_NCOLS, WEATHER_NROWS
+
+    ng = WEATHER_NROWS * WEATHER_NCOLS
+    n_sample = (ng + 7) // 8
+    return f"""
+WITH {knn_cte},
+{weather_term_ctes().lstrip()},
+{soil_quality_cte().lstrip()},
+docs_geo AS (
+  SELECT d.doc_id, {mukey_expr} AS mukey, knn.grid_id
+  FROM documents d JOIN knn ON d.doc_id = knn.doc_id
+),
+snapped AS (
+  SELECT doc_id, mukey, grid_id,
+         8 * least((grid_id + 7) // 8, {n_sample - 1}) AS sgid
+  FROM docs_geo
+)
+SELECT g.doc_id, g.mukey, g.grid_id,
+       round_even(
+         (2.0 + 6.0 * sq.soil_quality)
+           * (1.0 - exp(-hu.heat_units / 2000.0))
+         + CAST((g.mukey * 31 + g.grid_id * 17) % 97 AS DOUBLE) / 970.0,
+         4) AS "yield"
+FROM snapped g
+JOIN sq USING (mukey)
+JOIN hu USING (sgid)
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

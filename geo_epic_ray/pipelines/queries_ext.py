@@ -1112,12 +1112,21 @@ def climate_scalars(sf_dir: str):
 # --- the simulation fleet (§3.1 main path) ----------------------------------
 
 
-@register("simulation_fleet")
+def _sim_fleet_sql() -> str:
+    from .queries import _LAT_D, _LON_D, _grid_knn_cte, _mukey_sql
+
+    return _oracle_sql.simulation_fleet_sql(
+        _grid_knn_cte(), _mukey_sql(_LAT_D, _LON_D)
+    )
+
+
+@register("simulation_fleet", _sim_fleet_sql())
 def simulation_fleet(sf_dir: str):
     """End-to-end 'workspace run' restatement: enrich the sf documents,
     join broadcast soil-quality + seasonal-heat side tables in the sim
     stage, emit per-doc pseudo-yields (+ quarantine column). Model compute
-    is a deterministic stand-in (no Fortran binary here) -> rows-only."""
+    is a deterministic stand-in (no Fortran binary here) whose splitmix
+    side tables the oracle regenerates in SQL — hash-exact per doc."""
     from .flagship import flagship_enrich
     from .queries import _docs
     from .simulate import run_simulation_fleet
