@@ -720,10 +720,13 @@ def smooth_profile_sql() -> str:
     by ~1e-16, absorbed by round-even 6 of the series mean. quantile_cont
     is bit-identical to numpy's linear interpolation (verified across
     sizes). The greedy peak keep (highest first, ties by position,
-    reject within ceil(n/4)) runs as a list_reduce over candidates
-    sorted by (-y, pos)."""
+    reject within ceil(n/4)) runs as a RECURSIVE CTE over rank-ordered
+    candidates with a single-level lambda for the distance test — nested
+    lambdas (a list_filter inside a list_reduce lambda) segfault /
+    silently corrupt on this DuckDB build; never nest lambdas in oracle
+    SQL."""
     return """
-WITH daily AS (
+WITH RECURSIVE daily AS (
   SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v
   FROM events GROUP BY user_id, date_trunc('day', ts)
 ),
@@ -746,23 +749,38 @@ smo AS (
                          + 180*ys[n-1] + 620*ys[n]) / 700.0
         ELSE (-3*ys[i-2] + 12*ys[i-1] + 17*ys[i]
               + 12*ys[i+1] - 3*ys[i+2]) / 35.0
-      END)) / n, 6) END AS smoothed_mean,
-    CASE WHEN n < 7 THEN 0 ELSE len(list_reduce(
-      list_prepend(CAST([] AS BIGINT[]),
-        list_transform(
-          list_sort(list_filter(
-            list_transform(range(2, n), p -> {ny: -ys[p], p: p}),
-            s -> -s.ny > ys[s.p - 1] AND -s.ny > ys[s.p + 1]
-                 AND -s.ny >= h)),
-          s -> [s.p])),
-      (acc, x) -> CASE
-        WHEN len(list_filter(acc,
-               q -> abs(q - x[1]) < CAST(ceil(n / 4.0) AS BIGINT))) = 0
-        THEN list_append(acc, x[1]) ELSE acc END)) END AS n_seasons
+      END)) / n, 6) END AS smoothed_mean
   FROM ser
+),
+cands AS (
+  SELECT user_id, pos, dist,
+         row_number() OVER (PARTITION BY user_id ORDER BY y DESC, pos) AS rnk
+  FROM (
+    SELECT user_id, p AS pos, ys[p] AS y,
+           CAST(ceil(n / 4.0) AS BIGINT) AS dist
+    FROM ser, unnest(range(2, n)) t(p)
+    WHERE n >= 7 AND ys[p] > ys[p - 1] AND ys[p] > ys[p + 1]
+      AND ys[p] >= h
+  )
+),
+nc AS (SELECT user_id, count(*) AS m FROM cands GROUP BY user_id),
+greedy AS (
+  SELECT user_id, 0 AS rnk, CAST([] AS BIGINT[]) AS kept FROM nc
+  UNION ALL
+  SELECT g.user_id, g.rnk + 1,
+         CASE WHEN len(list_filter(g.kept,
+                    q -> abs(q - c.pos) < c.dist)) = 0
+              THEN list_append(g.kept, c.pos) ELSE g.kept END
+  FROM greedy g JOIN cands c
+    ON c.user_id = g.user_id AND c.rnk = g.rnk + 1
+),
+nsea AS (
+  SELECT g.user_id, len(g.kept) AS n_seasons
+  FROM greedy g JOIN nc ON nc.user_id = g.user_id AND nc.m = g.rnk
 )
-SELECT user_id, CAST(n_seasons AS BIGINT) AS n_seasons, smoothed_mean
-FROM smo
+SELECT s.user_id, CAST(COALESCE(nsea.n_seasons, 0) AS BIGINT) AS n_seasons,
+       s.smoothed_mean
+FROM smo s LEFT JOIN nsea USING (user_id)
 """
 
 
@@ -797,6 +815,110 @@ SELECT g.doc_id, g.mukey, g.grid_id,
 FROM snapped g
 JOIN sq USING (mukey)
 JOIN hu USING (sgid)
+"""
+
+
+def semdedup_keep_sql(
+    k: int = 8, n_iter: int = 4, threshold: float = 0.9,
+    n_twins: int = 32, seed: int = 9000, stream: int = 3,
+    scale: float = 0.04,
+) -> str:
+    """queries_ext2.semdedup_keep fully replayed: splitmix twins (same
+    regen as embedding_pairs_sql), the Lloyd rounds unrolled over the
+    AUGMENTED vector set (init = k smallest vec_ids; empty clusters keep
+    their centroid), one extra assignment against the post-update
+    centroids (semdedup assigns with kmeans_fit's returned c{n}), then
+    the within-cluster greedy keep-first sweep in ascending-id order as
+    a RECURSIVE CTE (one step per member rank; the threshold test is a
+    single-level lambda over the kept-vector list — nested lambdas
+    segfault / silently corrupt on this DuckDB build). Numeric daylight
+    (expanded-vs-direct distance forms, summation order) is ~1e-12, far
+    inside both the Voronoi margins of this corpus and the
+    |cosine - 0.9| >= 0.1 gap of every compared pair."""
+    frag, h = hash_u64_cols("(e.vec_id * 64 + (t.j - 1))", seed, stream, "tw")
+    u = uniform_expr(h)
+    steps = []
+    for i in range(1, n_iter + 2):
+        # rounds 1..n_iter update centroids; round n_iter+1 is the final
+        # assignment pass (no update consumed)
+        steps.append(f"""d{i} AS (
+  SELECT v.vec_id, c.cid, sum((v.x - c.val) * (v.x - c.val)) AS d2
+  FROM v JOIN c{i - 1} c ON c.j = v.j GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.cid, p.j, COALESCE(m.mu, p.val) AS val
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT a.cid, v.j, sum(v.x) / count(*) AS mu
+    FROM a{i} a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2
+  ) m ON m.cid = p.cid AND m.j = p.j
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH RECURSIVE nat AS (
+  SELECT e.vec_id, t.j, CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE) AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) t(j)
+),
+twin AS (
+  SELECT vec_id, j, x FROM (
+    SELECT {frag},
+           e.vec_id + 1000000 AS vec_id, t.j,
+           CAST(CAST(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+                * (1.0 + {scale} * ({u} * 2.0 - 1.0)) AS REAL) AS DOUBLE) AS x
+    FROM embeddings e, unnest(generate_series(1, len(e.embedding))) t(j)
+    WHERE e.vec_id < {n_twins}
+  )
+),
+v AS MATERIALIZED (SELECT * FROM nat UNION ALL SELECT * FROM twin),
+c0 AS MATERIALIZED (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         j, x AS val
+  FROM v WHERE vec_id IN (SELECT DISTINCT vec_id FROM v
+                          ORDER BY vec_id LIMIT {k})
+),
+{chain},
+nrm AS (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nn
+        FROM v GROUP BY vec_id),
+vl AS (SELECT v.vec_id, list(v.x / n.nn ORDER BY v.j) AS uv
+       FROM v JOIN nrm n USING (vec_id) GROUP BY v.vec_id),
+mem AS MATERIALIZED (
+  SELECT a.cid, a.vec_id, vl.uv,
+         row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id) AS rnk
+  FROM a{n_iter + 1} a JOIN vl USING (vec_id)),
+msz AS (SELECT cid, count(*) AS m FROM mem GROUP BY cid),
+gr AS (
+  SELECT cid, 0 AS rnk, CAST([] AS BIGINT[]) AS kept_ids,
+         CAST([] AS DOUBLE[][]) AS kept_uvs
+  FROM msz
+  UNION ALL
+  SELECT cid, rnk,
+         CASE WHEN conflict THEN kept_ids
+              ELSE list_append(kept_ids, vid) END AS kept_ids,
+         CASE WHEN conflict THEN kept_uvs
+              ELSE list_append(kept_uvs, uv) END AS kept_uvs
+  FROM (
+    SELECT g.cid AS cid, g.rnk + 1 AS rnk, g.kept_ids, g.kept_uvs,
+           mm.vec_id AS vid, mm.uv AS uv,
+           len(list_filter(g.kept_uvs,
+               ku -> list_inner_product(ku, mm.uv) >= {threshold})) > 0
+             AS conflict
+    FROM gr g JOIN mem mm ON mm.cid = g.cid AND mm.rnk = g.rnk + 1
+  )
+),
+keptl AS (
+  SELECT g.cid, g.kept_ids AS ids
+  FROM gr g JOIN msz ON msz.cid = g.cid AND msz.m = g.rnk
+)
+SELECT m.vec_id, m.cid AS cluster_id,
+       list_contains(ki.ids, m.vec_id) AS kept
+FROM mem m JOIN keptl ki USING (cid)
+ORDER BY m.vec_id
 """
 
 

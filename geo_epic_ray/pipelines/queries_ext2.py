@@ -385,18 +385,30 @@ def kmeans_embeddings(sf_dir: str):
     return stats
 
 
-@register("semdedup_keep")
+def _semdedup_sql() -> str:
+    from . import oracle_sql
+
+    return oracle_sql.semdedup_keep_sql()
+
+
+@register("semdedup_keep", _semdedup_sql())
 def semdedup_keep(sf_dir: str):
     """SemDeDup semantic dedup (stages/cluster.py semdedup): k-means
     clusters + within-cluster greedy cosine pruning at 0.9, over the
     embedding table augmented with deterministic perturbed twins of the
-    first 32 vectors (cosine ~0.99 planted near-dups, derived in-stream).
+    first 32 vectors (cosine ~0.9996 planted near-dups, derived in-stream
+    with the same splitmix multiplicative jitter as embedding_dup_pairs).
     Every twin must be pruned (kept=false) while its original survives —
     asserted here so the gate run itself proves the semantic-dedup
     behavior; exact equality vs a single-process greedy twin is locked in
-    tests/test_cluster.py. Iterative (k-means) -> rows-only check."""
+    tests/test_cluster.py. The oracle unrolls the Lloyd rounds, the final
+    assignment and the greedy keep-first sweep in SQL (every cosine this
+    corpus compares sits >=0.1 away from the 0.9 threshold, so the
+    1e-12-scale numeric daylight between numpy and DuckDB cannot flip a
+    decision) — hash-exact, not rows-only."""
     import numpy as np
 
+    from ..fixtures.rng import uniform as _sm_uniform
     from ..stages.cluster import semdedup
 
     ds = rd.read_parquet(
@@ -408,13 +420,12 @@ def semdedup_keep(sf_dir: str):
         if not len(sel):
             return b
         emb = np.stack(sel.embedding.to_numpy())
+        d = emb.shape[1]
         twins = []
         for vid, v in zip(sel.vec_id.to_numpy(), emb):
-            rng = np.random.default_rng(9000 + int(vid))
-            t = v.astype(np.float64) + 0.05 * np.linalg.norm(v) / np.sqrt(
-                v.size
-            ) * rng.standard_normal(v.size)
-            twins.append(t.astype(emb.dtype))
+            idx = int(vid) * d + np.arange(d, dtype=np.int64)
+            g = _sm_uniform(idx, 9000, 3) * 2.0 - 1.0
+            twins.append((v.astype(np.float64) * (1.0 + 0.04 * g)).astype(emb.dtype))
         extra = pd.DataFrame(
             {"vec_id": sel.vec_id.to_numpy() + 1_000_000, "embedding": twins}
         )
