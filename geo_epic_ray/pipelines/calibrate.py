@@ -1,8 +1,21 @@
-"""Calibration loop — the reference's PyGMO parameter-fitting flow
-(geoEpic/core/calibration.py:28-59; SURVEY.md §2.10 @objective) without
-PyGMO: each fitness evaluation is one fleet run over the Dataset
-pipeline; the optimizer itself (Nelder-Mead, stages/profile_ops.py) stays
-in the driver exactly as the reference's does.
+"""Calibration loops — the reference's PyGMO parameter-fitting flow
+(geoEpic/core/calibration.py:28-62 PygmoProblem.fitness; SURVEY.md §2.10
+@objective) without PyGMO.
+
+Two optimizers over the same fleet-objective shape:
+
+- ``calibrate_heat_scale`` — local Nelder-Mead (stages/profile_ops.py),
+  one fleet run per fitness call, exactly the reference's
+  evaluate-then-step driver loop.
+- ``calibrate_heat_scale_de`` — population-based differential evolution
+  (DE/rand/1/bin, Storn & Price '97 — the same generational family the
+  reference hands to PyGMO). The Ray-first restatement: a PyGMO
+  generation costs N independent model runs; here the WHOLE population
+  is evaluated in ONE fleet pass (`evaluate_scale_population`) — each
+  batch computes the yield surface for every candidate vectorized and
+  emits per-candidate partial sums, so generation cost is one Dataset
+  execution regardless of population size. All randomness is stateless
+  splitmix64 (fixtures/rng), so runs are bit-reproducible.
 
 The calibrated parameter here scales the simulation's heat response
 (stand-in for the reference's CROPCOM/ieParm vectors, io/parmio.py);
@@ -17,6 +30,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..fixtures.rng import uniform as _sm_uniform
 from ..stages.profile_ops import nelder_mead
 from .simulate import SimStage, heat_units_table, soil_quality_table
 
@@ -60,4 +74,120 @@ def calibrate_heat_scale(
         "heat_scale": float(best[0]),
         "objective": objective(best),
         "fleet_evaluations": evals["n"],
+    }
+
+
+class PopulationSimStage:
+    """Vectorized-over-candidates sim stage: one batch pass computes the
+    pseudo-yield for EVERY candidate heat scale (outer product over the
+    population) and emits per-candidate partial (sum, count) — the
+    bounded-merge pattern (k rows per batch, like stages/cluster's Lloyd
+    partials), so a DE generation is one fleet pass, not npop."""
+
+    def __init__(self, soil_ref, climate_ref, scales_ref):
+        from ..state.broadcast import get
+
+        soil = get(soil_ref)
+        order = np.argsort(soil["mukey"].to_numpy())
+        self._soil_keys = soil["mukey"].to_numpy()[order]
+        self._soil_vals = soil["soil_quality"].to_numpy()[order]
+        clim = get(climate_ref)
+        order = np.argsort(clim["grid_id"].to_numpy())
+        self._heat_keys = clim["grid_id"].to_numpy()[order]
+        self._heat_vals = clim["heat_units"].to_numpy()[order]
+        self._scales = np.asarray(get(scales_ref), dtype=np.float64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mukey = batch["mukey"].to_numpy()
+        gid = batch["grid_id"].to_numpy()
+        sq = SimStage._lookup(self._soil_keys, self._soil_vals, mukey)
+        hu = SimStage._lookup(self._heat_keys, self._heat_vals, gid)
+        ok = ~(np.isnan(sq) | np.isnan(hu))
+        base = 2.0 + 6.0 * sq[ok]
+        jitter = ((mukey[ok] * 31 + gid[ok] * 17) % 97) / 970.0
+        # (npop, n_ok) yield surface: candidates differ only in the heat
+        # saturation term, so the per-row lookups amortize across the pop
+        heat = 1.0 - np.exp(
+            -np.outer(np.maximum(self._scales, 0.0), hu[ok]) / 2000.0
+        )
+        y = np.round(base[None, :] * heat + jitter[None, :], 4)
+        # partial sums in integer ten-thousandths: yields are exact
+        # 4-decimal values, so integer addition makes the population means
+        # independent of batch boundaries / merge order — a DE selection
+        # (t_obj < obj) can never flip between runs
+        s = np.rint(y * 10000.0).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cand": np.arange(len(self._scales), dtype=np.int64),
+                "s": s,
+                "n": np.full(len(self._scales), int(ok.sum()), dtype=np.int64),
+            }
+        )
+
+
+def evaluate_scale_population(
+    keys: rd.Dataset, soil_ref, climate_ref, scales: np.ndarray,
+    *, concurrency: int = 2, batch_size: int = 8192,
+) -> np.ndarray:
+    """Mean fleet yield per candidate scale, in ONE Dataset execution.
+    Driver merge is bounded: npop rows per batch."""
+    parts = keys.map_batches(
+        PopulationSimStage,
+        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_args=(soil_ref, climate_ref, ray.put(scales)),
+    ).to_pandas()
+    g = parts.groupby("cand").sum()
+    return ((g.s / 10000.0) / g.n.clip(lower=1)).to_numpy()
+
+
+def calibrate_heat_scale_de(
+    enriched: rd.Dataset,
+    target_mean_yield: float,
+    *,
+    bounds: tuple[float, float] = (0.1, 2.0),
+    npop: int = 8,
+    generations: int = 10,
+    f_weight: float = 0.6,
+    seed: int = 7,
+) -> dict:
+    """DE/rand/1 over the heat-scale parameter (1-D, so binomial
+    crossover's forced j_rand always takes the mutant). Deterministic:
+    every draw is splitmix64 of (seed, stream, index). Returns the best
+    member, its objective, and the fleet-pass count (= generations + 1,
+    the population-batched win over npop x generations single runs)."""
+    lo, hi = bounds
+    soil_ref = ray.put(soil_quality_table())
+    climate_ref = ray.put(heat_units_table())
+    keys = enriched.select_columns(["mukey", "grid_id"]).materialize()
+
+    idx = np.arange(npop, dtype=np.int64)
+    pop = lo + _sm_uniform(idx, seed, 100) * (hi - lo)
+    means = evaluate_scale_population(keys, soil_ref, climate_ref, pop)
+    obj = (means - target_mean_yield) ** 2
+    passes = 1
+
+    for g in range(generations):
+        # three distinct partners per member: rank others by a per-(gen,
+        # member) splitmix key, take the first three
+        u = _sm_uniform(
+            (g * npop + idx)[:, None] * npop + idx[None, :], seed, 200
+        )
+        u[idx, idx] = 2.0  # self always sorts last
+        partners = np.argsort(u, axis=1)[:, :3]
+        r1, r2, r3 = partners[:, 0], partners[:, 1], partners[:, 2]
+        trial = np.clip(pop[r1] + f_weight * (pop[r2] - pop[r3]), lo, hi)
+        t_means = evaluate_scale_population(keys, soil_ref, climate_ref, trial)
+        t_obj = (t_means - target_mean_yield) ** 2
+        passes += 1
+        better = t_obj < obj
+        pop = np.where(better, trial, pop)
+        obj = np.where(better, t_obj, obj)
+
+    b = int(np.argmin(obj))
+    return {
+        "heat_scale": float(pop[b]),
+        "objective": float(obj[b]),
+        "fleet_passes": passes,
+        "candidates_evaluated": passes * npop,
+        "population": pop.tolist(),
     }

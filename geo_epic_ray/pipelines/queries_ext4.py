@@ -1085,3 +1085,54 @@ def funnel_stage_times(sf_dir: str):
         )
 
     return bucketed_group_agg(ds, ["user_id"], funnel, n_buckets=32)
+
+
+# --- population-based calibration (the reference's PyGMO generational
+# loop, DE restatement; pipelines/calibrate.py) --------------------------------
+
+
+@register("calibration_de")
+def calibration_de(sf_dir: str):
+    """Differential-evolution calibration of the fleet's heat-scale
+    parameter against a self-derived target (the mean yield at scale
+    0.5): generations evaluate the WHOLE population in one fleet pass
+    (per-candidate integer partial sums -> batch-order-independent
+    means), so the run is bit-deterministic end to end. The optimizer
+    trajectory is driver-side numpy over those exact means — engine-only,
+    so rows-only at the gate; convergence and determinism are asserted
+    in-query and locked in tests/test_prepare_calibrate.py.
+
+    reference: geoEpic/core/calibration.py:28-62 (PygmoProblem.fitness,
+    one model run per candidate) — here a generation costs one Dataset
+    execution regardless of population size."""
+    import ray as _ray
+
+    from .calibrate import (calibrate_heat_scale_de,
+                            evaluate_scale_population, heat_units_table,
+                            soil_quality_table)
+    from .flagship import flagship_enrich
+    from .queries import _docs
+
+    enriched = flagship_enrich(
+        _docs(sf_dir), skew=False, concurrency=2, batch_size=4096
+    )
+    keys = enriched.select_columns(["mukey", "grid_id"]).materialize()
+    soil_ref = _ray.put(soil_quality_table())
+    climate_ref = _ray.put(heat_units_table())
+    target = float(
+        evaluate_scale_population(
+            keys, soil_ref, climate_ref, np.array([0.5])
+        )[0]
+    )
+    res = calibrate_heat_scale_de(
+        keys, target, npop=6, generations=8, seed=7
+    )
+    assert res["objective"] < 1e-4, "DE must recover the planted scale"
+    return pd.DataFrame(
+        {
+            "heat_scale": [round(res["heat_scale"], 6)],
+            "objective": [round(res["objective"], 10)],
+            "fleet_passes": [res["fleet_passes"]],
+            "candidates_evaluated": [res["candidates_evaluated"]],
+        }
+    )

@@ -63,3 +63,63 @@ def test_calibration_converges(ray_session):
     assert result["objective"] < 1e-4
     assert result["fleet_evaluations"] >= 5
     assert 0.2 < result["heat_scale"] < 1.2
+
+
+def test_calibration_de_converges_and_is_deterministic(ray_session):
+    import ray
+
+    from geo_epic_ray.pipelines.calibrate import (
+        calibrate_heat_scale_de, evaluate_scale_population, heat_units_table,
+        soil_quality_table)
+    from geo_epic_ray.pipelines.flagship import (flagship_enrich,
+                                                 synthetic_documents)
+
+    enriched = flagship_enrich(synthetic_documents(2000), concurrency=2)
+    keys = enriched.select_columns(["mukey", "grid_id"]).materialize()
+    soil_ref = ray.put(soil_quality_table())
+    climate_ref = ray.put(heat_units_table())
+    # target: the fleet's mean yield at heat scale 0.5; DE must rediscover
+    # a scale achieving it from a splitmix-seeded population
+    target = float(
+        evaluate_scale_population(keys, soil_ref, climate_ref,
+                                  np.array([0.5]))[0]
+    )
+    res = calibrate_heat_scale_de(keys, target, npop=6, generations=8, seed=7)
+    assert res["objective"] < 1e-4
+    assert 0.1 <= res["heat_scale"] <= 2.0
+    # one fleet pass per generation + the init pass — the population win
+    assert res["fleet_passes"] == 9
+    assert res["candidates_evaluated"] == 54
+    # integer partial sums make the whole trajectory batch-independent:
+    # a second run must be bit-identical
+    res2 = calibrate_heat_scale_de(keys, target, npop=6, generations=8, seed=7)
+    assert res2["heat_scale"] == res["heat_scale"]
+    assert res2["population"] == res["population"]
+
+
+def test_population_eval_matches_single_runs(ray_session):
+    import ray
+
+    from geo_epic_ray.pipelines.calibrate import (evaluate_scale_population,
+                                                  heat_units_table,
+                                                  soil_quality_table)
+    from geo_epic_ray.pipelines.flagship import (flagship_enrich,
+                                                 synthetic_documents)
+    from geo_epic_ray.pipelines.simulate import SimStage
+
+    enriched = flagship_enrich(synthetic_documents(1500), concurrency=2)
+    keys = enriched.select_columns(["mukey", "grid_id"]).materialize()
+    soil_ref = ray.put(soil_quality_table())
+    climate_ref = ray.put(heat_units_table())
+    scales = np.array([0.4, 1.0, 1.7])
+    batched = evaluate_scale_population(keys, soil_ref, climate_ref, scales)
+    # reference shape: one fleet per candidate (scaled heat table)
+    for s, got in zip(scales, batched):
+        heat = heat_units_table()
+        heat["heat_units"] = heat.heat_units * s
+        sim = keys.map_batches(
+            SimStage, batch_format="pyarrow", batch_size=8192, concurrency=2,
+            fn_constructor_args=(soil_ref, ray.put(heat)),
+        ).to_pandas()
+        single = sim.loc[sim.sim_error == "", "yield"].mean()
+        assert abs(single - got) < 1e-9, (s, single, got)
