@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 _SHINGLE_W = None
@@ -912,6 +913,112 @@ def embedding_dup_pairs(
     )
 
 
+def _dense_jaccard_pairs(
+    ds: rd.Dataset,
+    vocab: np.ndarray,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    n_buckets: int,
+) -> rd.Dataset:
+    """Dense-corpus exact Jaccard: docs as W-word bitmaps over the
+    (small, broadcast) global shingle vocabulary; one id-hash scatter,
+    then a triangular grid of partition-pair popcount tasks."""
+    from . import exchange
+
+    vocab_sorted = np.sort(vocab.view(np.uint64))
+    n_words = max(1, (vocab_sorted.size + 63) // 64)
+    vref = ray.put(vocab_sorted)
+
+    def to_bitmap(b: pd.DataFrame) -> pd.DataFrame:
+        voc = ray.get(vref)
+        hs, offs = char_shingle_hashes(b[text_col].tolist(), shingle_k)
+        sizes = np.diff(offs)
+        idx = np.searchsorted(voc, hs)  # every hash is in the census
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), sizes)
+        words = np.zeros((len(b), n_words), dtype=np.uint64)
+        np.bitwise_or.at(
+            words, (rows, idx >> 6), np.uint64(1) << (idx.astype(np.uint64) & np.uint64(63))
+        )
+        return pd.DataFrame(
+            {
+                "i": b[id_col].to_numpy(),
+                "sz": sizes,
+                "wb": [w.tobytes() for w in words],
+            }
+        )
+
+    n_parts = min(n_buckets, 16)
+    parts = exchange.scatter(
+        ds.map_batches(to_bitmap, batch_format="pandas"),
+        n_parts, exchange.hash_bucket_fn("i", n_parts),
+    )
+    refs = []
+    for i in range(n_parts):
+        if not parts[i]:
+            continue
+        for j in range(i, n_parts):
+            if not parts[j]:
+                continue
+            if i == j:
+                refs.append(
+                    _bitmap_pair_task.remote(threshold, True, len(parts[i]), *parts[i])
+                )
+            else:
+                refs.append(
+                    _bitmap_pair_task.remote(
+                        threshold, False, len(parts[i]), *parts[i], *parts[j]
+                    )
+                )
+    empty = pd.DataFrame(
+        {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+         "jaccard": np.empty(0, float)}
+    )
+    if not refs:
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+    return rd.from_arrow_refs(refs)
+
+
+@ray.remote
+def _bitmap_pair_task(
+    threshold: float, same: bool, n_left: int, *parts: pa.Table
+) -> pa.Table:
+    """All qualifying pairs between two doc-bitmap partitions: per-word
+    popcount of the AND matrix (constant passes — no data-dependent
+    loops), union from the precomputed set sizes. Exact on the shingle
+    hash sets; O(na*nb*W) words of work, the inherent cost when the pair
+    density itself is quadratic."""
+    left = pa.concat_tables(parts[:n_left])
+    right = left if same else pa.concat_tables(parts[n_left:])
+
+    def unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = t.column("i").to_numpy(zero_copy_only=False)
+        sz = t.column("sz").to_numpy(zero_copy_only=False)
+        w = np.stack(
+            [np.frombuffer(b, dtype=np.uint64) for b in t.column("wb").to_pylist()]
+        )
+        return ids, sz, w
+
+    ida, sza, wa = unpack(left)
+    idb, szb, wb = unpack(right) if not same else (ida, sza, wa)
+    inter = np.zeros((ida.size, idb.size), dtype=np.int64)
+    for w in range(wa.shape[1]):  # per-column 1-D gathers, W constant passes
+        inter += popcount64(wa[:, w][:, None] & wb[None, :, w]).astype(np.int64)
+    union = sza[:, None] + szb[None, :] - inter
+    jac = inter / np.maximum(union, 1)
+    keep = jac >= threshold
+    if same:
+        # each unordered pair once (ids are distinct within a partition)
+        keep &= ida[:, None] < idb[None, :]
+    ai, bi = np.nonzero(keep)
+    id_a = np.minimum(ida[ai], idb[bi])
+    id_b = np.maximum(ida[ai], idb[bi])
+    return pa.table(
+        {"id_a": id_a, "id_b": id_b, "jaccard": jac[ai, bi]}
+    )
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
     *,
@@ -920,47 +1027,132 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 5,
     n_buckets: int = 32,
+    dense_max: int = 1 << 16,
 ) -> rd.Dataset:
     """EXACT char-k-gram Jaccard threshold self-join (id_a < id_b,
-    jaccard >= threshold) via PPJoin-style prefix filtering [Xiao et al.,
-    WWW'08] — the deterministic-recall alternative to MinHash LSH: every
-    qualifying pair is guaranteed to surface, no banding probability.
+    jaccard >= threshold) — deterministic recall, two physical plans
+    chosen by a MEASURED corpus statistic (the distinct-shingle count),
+    because the optimal exact plan differs by an order of magnitude
+    between sparse and dense similarity structures:
+
+    - DENSE (distinct shingles <= ``dense_max``): low-diversity corpora
+      (boilerplate, templated text, small-vocab synthetics) make EVERY
+      prefix posting list span the corpus — no filter order can save a
+      posting-explosion plan (measured: 8.9e7 candidate pair-rows for
+      2.5e1 true pairs at sf0.1). Instead each doc becomes a W-word
+      bitmap over the global shingle vocabulary (broadcast once,
+      <= dense_max/8 bytes) and a triangular grid of partition-pair
+      tasks computes exact popcount Jaccard — work is O(n^2 * W / P)
+      with NO shuffle amplification, and the pair density of such
+      corpora is itself quadratic, so the plan matches the output bound.
+    - SPARSE: PPJoin-style prefix filtering [Xiao et al., WWW'08].
 
     Prefix principle: J(A,B) >= t implies |A∩B| >= t*|A∪B| >=
     ceil(t*|A|) for each side, so ANY (|A| - ceil(t*|A|) + 1)-element
-    prefix of A (in a fixed global order — here: the sorted shingle-hash
-    order) must contain a shared element, and likewise for B. Candidates
-    are therefore pairs sharing a hash that lies in BOTH docs' prefixes:
-    one (prefix-hash, id) explode — ~(1-t) of the shingle volume — one
-    hashed shuffle (``bucketed_pairs``), then the exact sorted-array
-    Jaccard verify over hash-partitioned payloads
-    (``pair_payload_verify`` — no broadcast, no driver merge). Scale
-    posture matches minhash_dedup_pairs; pick it over LSH when the
-    threshold is low (LSH banding degrades) or when exactness is
-    required, and LSH when t is high and the corpus is huge (its
-    candidate volume shrinks with t, the prefix explode's only with
-    1-t)."""
-    ds = ds.materialize()  # dual consumer: prefix explode + verify payload
+    prefix of A in a fixed GLOBAL order must contain a shared element,
+    and likewise for B. The order is everything for performance:
+    hash order (round-3's first cut) puts the globally-smallest hashes
+    in EVERY doc's prefix, so their posting lists span the corpus and
+    pair generation goes quadratic (measured 359s at sf0.1). PPJoin's
+    actual order is ascending DOCUMENT FREQUENCY — prefixes hold each
+    doc's rarest shingles, posting lists stay near the true-pair volume.
 
-    def prefixes(b: pd.DataFrame) -> pd.DataFrame:
+    Plan (3 small-column exchanges, no broadcast, no driver merge):
+    1. (hash, id, set_size) explode;
+    2. exchange by hash — the reduce owns every copy of a hash, so df is
+       a local count appended to each row (no separate df table or join);
+    3. exchange by id — per doc, sort by (df, hash) and keep the
+       (size - ceil(t*size) + 1)-prefix;
+    4. ``bucketed_pairs`` over the prefix postings, then the exact
+       sorted-array Jaccard verify over hash-partitioned payloads
+       (``pair_payload_verify``).
+    Pick this over LSH when the threshold is low (banding degrades) or
+    exactness is required; LSH when t is high and the corpus is huge."""
+    from . import exchange
+
+    ds = ds.materialize()  # dual consumer: census/prefix explode + payload
+
+    # --- plan selection: stream per-batch-unique shingle hashes to the
+    # driver, stop as soon as the vocabulary exceeds dense_max (bounded
+    # driver state ~dense_max*8 bytes regardless of corpus size)
+    def batch_vocab(b: pd.DataFrame) -> pd.DataFrame:
+        hs, _ = char_shingle_hashes(b[text_col].tolist(), shingle_k)
+        return pd.DataFrame({"sh": np.unique(hs).view(np.int64)})
+
+    vocab: np.ndarray | None = np.empty(0, dtype=np.int64)
+    for vb in ds.map_batches(batch_vocab, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        vocab = np.union1d(vocab, vb["sh"].to_numpy())
+        if vocab.size > dense_max:
+            vocab = None  # diverse corpus -> PPJoin path
+            break
+
+    if vocab is not None:
+        return _dense_jaccard_pairs(
+            ds, vocab, threshold, text_col, id_col, shingle_k, n_buckets
+        )
+
+    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
         hs, offs = char_shingle_hashes(b[text_col].tolist(), shingle_k)
         sizes = np.diff(offs)
-        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
-        # per-doc hashes are sorted unique -> prefix = first plen entries
-        starts = np.repeat(offs[:-1], sizes)
-        pos_in_doc = np.arange(hs.size, dtype=np.int64) - starts
-        mask = pos_in_doc < np.repeat(plen, sizes)
         return pd.DataFrame(
             {
-                "pkey": hs[mask].view(np.int64),
-                id_col: np.repeat(b[id_col].to_numpy(), sizes)[mask],
+                "sh": hs.view(np.int64),
+                id_col: np.repeat(b[id_col].to_numpy(), sizes),
+                "sz": np.repeat(sizes, sizes),
             }
         )
 
-    cand = bucketed_pairs(
-        ds.map_batches(prefixes, batch_format="pandas"), "pkey", id_col,
-        n_buckets=n_buckets,
+    def df_annotate(g: pa.Table) -> pd.DataFrame:
+        sh = g.column("sh").to_numpy(zero_copy_only=False)
+        _, inv, counts = np.unique(sh, return_inverse=True, return_counts=True)
+        return pd.DataFrame(
+            {
+                "sh": sh,
+                id_col: g.column(id_col).to_numpy(zero_copy_only=False),
+                "sz": g.column("sz").to_numpy(zero_copy_only=False),
+                "df": counts[inv].astype(np.int64),
+            }
+        )
+
+    df_annotate.wants_arrow = True
+    ann_empty = pd.DataFrame(
+        {c: np.empty(0, np.int64) for c in ["sh", id_col, "sz", "df"]}
     )
+    ann = exchange.group_map(
+        exchange.scatter(
+            ds.map_batches(shingle_rows, batch_format="pandas"),
+            n_buckets, exchange.hash_bucket_fn("sh", n_buckets),
+        ),
+        df_annotate, ann_empty,
+    )
+
+    def select_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        sh = g["sh"].to_numpy()
+        dfv = g["df"].to_numpy()
+        sz = g["sz"].to_numpy()
+        order = np.lexsort((sh, dfv, ids))  # per doc: (df, hash) ascending
+        ids, sh, sz = ids[order], sh[order], sz[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        counts = np.diff(np.r_[starts, ids.size])
+        rank = np.arange(ids.size) - np.repeat(starts, counts)
+        plen = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+        keep = rank < plen
+        return pd.DataFrame({"pkey": sh[keep], id_col: ids[keep]})
+
+    pref_empty = pd.DataFrame(
+        {"pkey": np.empty(0, np.int64), id_col: np.empty(0, np.int64)}
+    )
+    pref = exchange.group_map(
+        exchange.scatter(
+            ann, n_buckets, exchange.hash_bucket_fn(id_col, n_buckets)
+        ),
+        select_prefix, pref_empty,
+    )
+
+    cand = bucketed_pairs(pref, "pkey", id_col, n_buckets=n_buckets)
 
     def to_payload(b: pd.DataFrame) -> pd.DataFrame:
         hs, offs = char_shingle_hashes(b[text_col].tolist(), shingle_k)

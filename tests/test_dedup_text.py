@@ -285,9 +285,6 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(4)
 
     thr = 0.5
-    got = ngram_jaccard_pairs(ds, threshold=thr).to_pandas()
-    got_pairs = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
-
     hs, offs = char_shingle_hashes(texts, 5)
     sets = [hs[offs[i] : offs[i + 1]] for i in range(len(texts))]
     want = set()
@@ -295,8 +292,17 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
         for b in range(a + 1, len(texts)):
             if jaccard_sorted(sets[a], sets[b]) >= thr:
                 want.add((a, b))
-    assert got_pairs == want
     assert len(want) > 20  # the corpus genuinely exercises the join
+
+    # BOTH physical plans must produce the brute-force set: dense_max=0
+    # forces the sparse PPJoin path, the default takes the bitmap path
+    # (this corpus' vocabulary is far under the census cutoff)
+    for dense_max in (1 << 16, 0):
+        got = ngram_jaccard_pairs(
+            ds, threshold=thr, dense_max=dense_max
+        ).to_pandas()
+        got_pairs = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
+        assert got_pairs == want, f"dense_max={dense_max}"
 
 
 def test_ngram_jaccard_pairs_short_docs(ray_session):
