@@ -77,67 +77,58 @@ def calibrate_heat_scale(
     }
 
 
-class PopulationSimStage:
-    """Vectorized-over-candidates sim stage: one batch pass computes the
-    pseudo-yield for EVERY candidate heat scale (outer product over the
-    population) and emits per-candidate partial (sum, count) — the
-    bounded-merge pattern (k rows per batch, like stages/cluster's Lloyd
-    partials), so a DE generation is one fleet pass, not npop."""
-
-    def __init__(self, soil_ref, climate_ref, scales_ref):
-        from ..state.broadcast import get
-
-        soil = get(soil_ref)
-        order = np.argsort(soil["mukey"].to_numpy())
-        self._soil_keys = soil["mukey"].to_numpy()[order]
-        self._soil_vals = soil["soil_quality"].to_numpy()[order]
-        clim = get(climate_ref)
-        order = np.argsort(clim["grid_id"].to_numpy())
-        self._heat_keys = clim["grid_id"].to_numpy()[order]
-        self._heat_vals = clim["heat_units"].to_numpy()[order]
-        self._scales = np.asarray(get(scales_ref), dtype=np.float64)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mukey = batch["mukey"].to_numpy()
-        gid = batch["grid_id"].to_numpy()
-        sq = SimStage._lookup(self._soil_keys, self._soil_vals, mukey)
-        hu = SimStage._lookup(self._heat_keys, self._heat_vals, gid)
-        ok = ~(np.isnan(sq) | np.isnan(hu))
-        base = 2.0 + 6.0 * sq[ok]
-        jitter = ((mukey[ok] * 31 + gid[ok] * 17) % 97) / 970.0
-        # (npop, n_ok) yield surface: candidates differ only in the heat
-        # saturation term, so the per-row lookups amortize across the pop
-        heat = 1.0 - np.exp(
-            -np.outer(np.maximum(self._scales, 0.0), hu[ok]) / 2000.0
-        )
-        y = np.round(base[None, :] * heat + jitter[None, :], 4)
-        # partial sums in integer ten-thousandths: yields are exact
-        # 4-decimal values, so integer addition makes the population means
-        # independent of batch boundaries / merge order — a DE selection
-        # (t_obj < obj) can never flip between runs
-        s = np.rint(y * 10000.0).sum(axis=1).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "cand": np.arange(len(self._scales), dtype=np.int64),
-                "s": s,
-                "n": np.full(len(self._scales), int(ok.sum()), dtype=np.int64),
-            }
-        )
+@ray.remote
+def _pop_eval_block(tbl, soil: pd.DataFrame, clim: pd.DataFrame,
+                    scales: np.ndarray) -> tuple[np.ndarray, int]:
+    """One block's per-candidate partial yield sums: the pseudo-yield is
+    computed for EVERY candidate heat scale at once (outer product over
+    the population — the per-row soil/heat lookups amortize across the
+    pop). Partial sums are INTEGER ten-thousandths: yields are exact
+    4-decimal values, so integer addition makes the population means
+    independent of block boundaries / merge order — a DE selection
+    (t_obj < obj) can never flip between runs."""
+    mukey = tbl.column("mukey").to_numpy(zero_copy_only=False)
+    gid = tbl.column("grid_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(soil["mukey"].to_numpy())
+    sq = SimStage._lookup(
+        soil["mukey"].to_numpy()[order], soil["soil_quality"].to_numpy()[order],
+        mukey,
+    )
+    order = np.argsort(clim["grid_id"].to_numpy())
+    hu = SimStage._lookup(
+        clim["grid_id"].to_numpy()[order], clim["heat_units"].to_numpy()[order],
+        gid,
+    )
+    ok = ~(np.isnan(sq) | np.isnan(hu))
+    base = 2.0 + 6.0 * sq[ok]
+    jitter = ((mukey[ok] * 31 + gid[ok] * 17) % 97) / 970.0
+    heat = 1.0 - np.exp(
+        -np.outer(np.maximum(np.asarray(scales, np.float64), 0.0), hu[ok])
+        / 2000.0
+    )
+    y = np.round(base[None, :] * heat + jitter[None, :], 4)
+    return np.rint(y * 10000.0).sum(axis=1).astype(np.int64), int(ok.sum())
 
 
 def evaluate_scale_population(
     keys: rd.Dataset, soil_ref, climate_ref, scales: np.ndarray,
-    *, concurrency: int = 2, batch_size: int = 8192,
+    *, refs: list | None = None,
 ) -> np.ndarray:
-    """Mean fleet yield per candidate scale, in ONE Dataset execution.
-    Driver merge is bounded: npop rows per batch."""
-    parts = keys.map_batches(
-        PopulationSimStage,
-        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
-        fn_constructor_args=(soil_ref, climate_ref, ray.put(scales)),
-    ).to_pandas()
-    g = parts.groupby("cand").sum()
-    return ((g.s / 10000.0) / g.n.clip(lower=1)).to_numpy()
+    """Mean fleet yield per candidate scale, as ONE wave of plain Ray
+    tasks over the pinned key blocks (the same raw-task escape hatch as
+    the Lloyd iterations in stages/cluster: a Dataset execution + actor
+    pool per generation pays multi-second fixed overhead every pass,
+    while a task wave costs milliseconds). Driver merge is bounded:
+    npop ints per block. Pass ``refs`` (``keys.to_arrow_refs()``) when
+    looping to skip the per-call ref fetch."""
+    if refs is None:
+        refs = keys.to_arrow_refs()
+    parts = ray.get(
+        [_pop_eval_block.remote(r, soil_ref, climate_ref, scales) for r in refs]
+    )
+    s = np.sum([p[0] for p in parts], axis=0)
+    n = max(1, sum(p[1] for p in parts))
+    return (s / 10000.0) / n
 
 
 def calibrate_heat_scale_de(
@@ -159,10 +150,13 @@ def calibrate_heat_scale_de(
     soil_ref = ray.put(soil_quality_table())
     climate_ref = ray.put(heat_units_table())
     keys = enriched.select_columns(["mukey", "grid_id"]).materialize()
+    refs = keys.to_arrow_refs()  # pinned once; every generation is a wave
 
     idx = np.arange(npop, dtype=np.int64)
     pop = lo + _sm_uniform(idx, seed, 100) * (hi - lo)
-    means = evaluate_scale_population(keys, soil_ref, climate_ref, pop)
+    means = evaluate_scale_population(
+        keys, soil_ref, climate_ref, pop, refs=refs
+    )
     obj = (means - target_mean_yield) ** 2
     passes = 1
 
@@ -176,7 +170,9 @@ def calibrate_heat_scale_de(
         partners = np.argsort(u, axis=1)[:, :3]
         r1, r2, r3 = partners[:, 0], partners[:, 1], partners[:, 2]
         trial = np.clip(pop[r1] + f_weight * (pop[r2] - pop[r3]), lo, hi)
-        t_means = evaluate_scale_population(keys, soil_ref, climate_ref, trial)
+        t_means = evaluate_scale_population(
+            keys, soil_ref, climate_ref, trial, refs=refs
+        )
         t_obj = (t_means - target_mean_yield) ** 2
         passes += 1
         better = t_obj < obj
