@@ -922,6 +922,102 @@ ORDER BY m.vec_id
 """
 
 
+def _fnv_fold_expr(e: str) -> str:
+    """FNV-1a over the codepoints of string expression ``e`` (the
+    state/manifest._fnv1a_codepoints kernel). Single-level lambdas only."""
+    return (
+        "list_reduce(list_prepend("
+        f"CAST({FNV_OFF} AS UBIGINT), "
+        f"list_transform(range(1, length({e}) + 1), "
+        f"i -> CAST(unicode(substr({e}, i, 1)) AS UBIGINT))), "
+        "(acc, cp) -> CAST((CAST(xor(acc, cp) AS HUGEINT) * "
+        f"{FNV_PRIME}) % {M64} AS UBIGINT))"
+    )
+
+
+def span_roundtrip_sql(n_docs: int = 2000, seed: int = 42) -> str:
+    """queries_ext2.span_roundtrip: the north-rule invariant gate. The
+    oracle regenerates the interleaved fixture (same draws as
+    span_kind_stats_sql plus the word/media/doc-id strings) and computes
+    the ORACLE-GRADE span-sequence hash (state/manifest.span_hash_fnv):
+    per-span FNV+finisher, per-doc Horner fold in span order (ascending
+    offset = descending-order reduce of acc*B + h), doc-id FNV mixed in,
+    XOR across docs, %016x. The Ray side must reproduce it from the
+    EXPLODED-AND-REASSEMBLED corpus — a corrupted round trip changes
+    hash_out and the driver's compare fails."""
+    from ..fixtures.documents import _KINDS, _VOCAB
+
+    nv = len(_VOCAB)
+    vocab = "[" + ", ".join(f"'{w}'" for w in _VOCAB) + "]"
+    kinds = "[" + ", ".join(f"'{k}'" for k in _KINDS) + "]"
+    h_ns, c_ns = hash_u64_cols("id", seed, 1, "ns")
+    h_k, c_k = hash_u64_cols("span_key", seed, 2, "kk")
+    h1, c1 = hash_u64_cols("span_key", seed, 3, "w1")
+    h2, c2 = hash_u64_cols("span_key", seed, 4, "w2")
+    h3, c3 = hash_u64_cols("span_key", seed, 5, "w3")
+    h6, c6 = hash_u64_cols("span_key", seed, 6, "mi")
+    horner = _u64mul("acc", int(FNV_PRIME))
+    return f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range({n_docs})),
+ns AS (SELECT id, {h_ns}, {randint_expr(c_ns, 1, 9)} AS n_spans FROM ids),
+sp AS (SELECT id, CAST(unnest(range(n_spans)) AS BIGINT) AS ord FROM ns),
+sk AS (SELECT id, ord, id * 131 + ord AS span_key FROM sp),
+dr AS (SELECT id, ord, {h_k}, {h1}, {h2}, {h3}, {h6},
+              CASE WHEN ord = 0 THEN 0 ELSE {randint_expr(c_k, 0, 3)} END
+                AS kind_ix,
+              {randint_expr(c1, 0, nv)} AS i1,
+              {randint_expr(c2, 0, nv)} AS i2,
+              {randint_expr(c3, 0, nv)} AS i3,
+              {randint_expr(c6, 0, 1 << 31)} AS mid
+       FROM sk),
+fld AS (SELECT id, ord,
+               list_extract({kinds}, kind_ix + 1)
+                 || chr(31)
+                 || CASE WHEN kind_ix = 0
+                         THEN list_extract({vocab}, i1 + 1) || ' '
+                              || list_extract({vocab}, i2 + 1) || ' '
+                              || list_extract({vocab}, i3 + 1)
+                         ELSE '' END
+                 || chr(31)
+                 || CASE WHEN kind_ix != 0
+                         THEN 'media://' || CAST(mid AS VARCHAR)
+                         ELSE '' END AS joined
+        FROM dr),
+sh0 AS (SELECT id, ord,
+               CAST((CAST({_fnv_fold_expr('joined')} AS HUGEINT) + ord)
+                    % {M64} AS UBIGINT) AS v
+        FROM fld),
+sh1 AS (SELECT id, ord, xor(v, v >> 30) AS v FROM sh0),
+sh2 AS (SELECT id, ord, {_u64mul('v', MIX1)} AS v FROM sh1),
+sh3 AS (SELECT id, ord, xor(v, v >> 27) AS v FROM sh2),
+sh4 AS (SELECT id, ord, {_u64mul('v', MIX2)} AS v FROM sh3),
+sh AS (SELECT id, ord, xor(v, v >> 31) AS h FROM sh4),
+docfold AS (
+  SELECT id,
+         list_reduce(
+           list_prepend(CAST(0 AS UBIGINT), list(h ORDER BY ord DESC)),
+           (acc, h) -> CAST((CAST({horner} AS HUGEINT) + h) % {M64}
+                            AS UBIGINT)) AS fold
+  FROM sh GROUP BY id),
+dh0 AS (SELECT id,
+               CAST((CAST(fold AS HUGEINT) +
+                     {_fnv_fold_expr("'doc-' || lpad(CAST(id AS VARCHAR), 10, '0')")})
+                    % {M64} AS UBIGINT) AS v
+        FROM docfold),
+dh1 AS (SELECT id, xor(v, v >> 30) AS v FROM dh0),
+dh2 AS (SELECT id, {_u64mul('v', MIX1)} AS v FROM dh1),
+dh3 AS (SELECT id, xor(v, v >> 27) AS v FROM dh2),
+dh4 AS (SELECT id, {_u64mul('v', MIX2)} AS v FROM dh3),
+dh AS (SELECT id, xor(v, v >> 31) AS h FROM dh4),
+agg AS (SELECT bit_xor(h) AS acc, count(*) AS n FROM dh)
+SELECT CAST(n AS BIGINT) AS n_docs_in, CAST(n AS BIGINT) AS n_docs_out,
+       lower(lpad(hex(acc), 16, '0')) AS hash_in,
+       lower(lpad(hex(acc), 16, '0')) AS hash_out,
+       true AS match
+FROM agg
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

@@ -556,17 +556,27 @@ def grouped_quantiles_tdigest(sf_dir: str):
 # table is flat; these run on the deterministic interleaved fixture) ----------
 
 
-@register("span_roundtrip")
+def _span_rt_sql() -> str:
+    from . import oracle_sql
+
+    return oracle_sql.span_roundtrip_sql(n_docs=2000)
+
+
+@register("span_roundtrip", _span_rt_sql())
 def span_roundtrip(sf_dir: str):
     """The north-rule per-row invariant as a gate: explode the interleaved
     corpus to one-row-per-span, hash-partition + reassemble, and compare
-    the order-sensitive span-sequence hash (state/manifest.span_hash_of)
-    of output vs input. match must be True."""
+    the order-sensitive span-sequence hash of output vs input. match must
+    be True. Uses the ORACLE-GRADE hash (state/manifest.span_hash_fnv —
+    pure FNV/splitmix integer math), so the DuckDB oracle recomputes the
+    expected hash from the fixture draws alone: a round trip that
+    reorders, drops or mutates ANY span field changes hash_out and fails
+    the driver's compare, not just the in-query assert."""
     import pyarrow as pa
 
     from ..fixtures.documents import documents_batch
     from ..stages.spans import explode_spans, reassemble_spans
-    from ..state.manifest import span_hash_of
+    from ..state.manifest import span_hash_fnv
 
     table = documents_batch(np.arange(2000, dtype=np.int64))
     ds = rd.from_arrow(table).repartition(8)
@@ -574,7 +584,7 @@ def span_roundtrip(sf_dir: str):
     out = pa.concat_tables(
         [pa.table(b) for b in rt.iter_batches(batch_format="pyarrow")]
     )
-    h_in, h_out = span_hash_of(table), span_hash_of(out)
+    h_in, h_out = span_hash_fnv(table), span_hash_fnv(out)
     return pd.DataFrame(
         {
             "n_docs_in": [table.num_rows],

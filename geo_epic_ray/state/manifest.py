@@ -89,6 +89,89 @@ def span_hash_of(table: pa.Table, span_col: str = "spans", id_col: str = "doc_id
     return f"{int(acc):016x}"
 
 
+def _fnv1a_codepoints(strs: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over unicode codepoints per string (the same
+    kernel as stages/dedup._token_hashes, duplicated here to keep state/
+    free of stages/ imports)."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lst = [str(s) for s in strs]
+    blob = "".join(lst)
+    codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    lens = np.fromiter((len(t) for t in lst), dtype=np.int64, count=n)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    h = np.full(n, np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    for p in range(int(lens.max(initial=0))):
+        live = lens > p
+        h[live] = (h[live] ^ codes[starts[live] + p]) * prime
+    return h
+
+
+def _splitmix_finish(z: np.ndarray) -> np.ndarray:
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def span_hash_fnv(table: pa.Table, span_col: str = "spans", id_col: str = "doc_id") -> str:
+    """Row-order-insensitive, span-order-SENSITIVE corpus hash with a
+    fully SQL-replayable spec (every step is FNV/splitmix mod-2^64
+    integer math — pipelines/oracle_sql.span_roundtrip_sql regenerates it
+    from the fixture draws alone):
+
+        span_h  = finish(FNV1a(kind || US || text || US || media_ref)
+                         + uint64(offset))           # US = '\\x1f'
+        doc_h   = finish(sum_i span_h_i * B^pos_i + FNV1a(doc_id))
+        corpus  = xor over docs of doc_h, as %016x   # B = FNV prime
+
+    ``span_hash_of`` (polars row hashing) remains the fast path for the
+    16M-doc write manifests; this one is the ORACLE-GRADE variant the
+    round-trip gate uses."""
+    if span_col not in table.column_names:
+        return "no-spans"
+    spans = table[span_col]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    n = table.num_rows
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    B = np.uint64(0x100000001B3)
+    doc_fold = np.zeros(n, dtype=np.uint64)
+    if len(flat):
+        us = "\x1f"
+        kind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+        text = np.asarray(flat.field("text").to_pylist(), dtype=object)
+        ref = np.asarray(flat.field("media_ref").to_pylist(), dtype=object)
+        joined = np.array(
+            [f"{k}{us}{t}{us}{r}" for k, t, r in zip(kind, text, ref)],
+            dtype=object,
+        )
+        off = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.uint64)
+        span_h = _splitmix_finish(_fnv1a_codepoints(joined) + off)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        powers = np.ones(len(flat), dtype=np.uint64)
+        rem = pos.copy()
+        b = int(B)
+        for _ in range(max(1, int(pos.max(initial=0)).bit_length())):
+            odd = (rem & 1) == 1
+            powers[odd] *= np.uint64(b)
+            rem >>= 1
+            b = (b * b) & ((1 << 64) - 1)
+        folded = span_h * powers
+        nonempty = counts > 0
+        sums = np.add.reduceat(folded, np.minimum(offsets[:-1], len(flat) - 1))
+        doc_fold[nonempty] = sums[nonempty]
+    ids = _fnv1a_codepoints(
+        np.asarray(table[id_col].to_pylist(), dtype=object)
+    )
+    doc_h = _splitmix_finish(doc_fold + ids)
+    acc = np.bitwise_xor.reduce(doc_h) if n else np.uint64(0)
+    return f"{int(acc):016x}"
+
+
 class Manifest:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
