@@ -570,26 +570,6 @@ def minhash_lsh_pairs(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
 
 
-@register("ngram_jaccard_pairs", _MINHASH_PAIRS_SQL)
-def ngram_jaccard_pairs_q(sf_dir: str):
-    """EXACT n-gram Jaccard threshold self-join via PPJoin-style prefix
-    filtering (stages/dedup.py ngram_jaccard_pairs) — deterministic
-    recall, so the all-pairs DuckDB oracle holds by construction, not by
-    a banding-probability argument; returns the same pairs as
-    minhash_lsh_pairs and shares its oracle SQL (LSH-vs-exact agreement
-    is itself part of the gate)."""
-    from ..stages.dedup import ngram_jaccard_pairs
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, threshold=0.5)
-
-    def rnd(b: pd.DataFrame) -> pd.DataFrame:
-        b["jaccard"] = b["jaccard"].round(6)
-        return b
-
-    return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
-
-
 @register("simhash_fingerprints", _oracle_sql.simhash_fingerprints_sql())
 def simhash_fp_q(sf_dir: str):
     """64-bit SimHash per document — bit-exact DuckDB oracle (the token

@@ -1136,3 +1136,34 @@ def calibration_de(sf_dir: str):
             "candidates_evaluated": [res["candidates_evaluated"]],
         }
     )
+
+
+# --- exact n-gram Jaccard threshold self-join (registered at the END so
+# the driver's fixed correctness window keeps its r02 positions) --------------
+
+
+def _ngram_pairs_sql() -> str:
+    from .queries_ext import _MINHASH_PAIRS_SQL
+
+    return _MINHASH_PAIRS_SQL
+
+
+@register("ngram_jaccard_pairs", _ngram_pairs_sql())
+def ngram_jaccard_pairs_q(sf_dir: str):
+    """EXACT n-gram Jaccard threshold self-join (stages/dedup.py
+    ngram_jaccard_pairs): measured plan selection between df-ordered
+    PPJoin prefix filtering and the dense-corpus bitmap all-pairs path —
+    deterministic recall, so the all-pairs DuckDB oracle holds by
+    construction, not by a banding-probability argument; returns the same
+    pairs as minhash_lsh_pairs and shares its oracle SQL (LSH-vs-exact
+    agreement is itself part of the gate)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5)
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        b["jaccard"] = b["jaccard"].round(6)
+        return b
+
+    return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
