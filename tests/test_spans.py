@@ -81,3 +81,49 @@ def test_filter_then_roundtrip(ray_session):
         pa.array([d in nonempty_ids for d in media_tbl["doc_id"].to_pylist()])
     )
     assert span_hash_of(rt_tbl) == span_hash_of(keep)
+
+
+def test_span_hash_fnv_properties():
+    """The oracle-grade hash (manifest.span_hash_fnv): row-order
+    INSENSITIVE, span-order SENSITIVE, and sensitive to every span field
+    — the exact invariant the round-trip gate relies on."""
+    import pyarrow as pa
+
+    from geo_epic_ray.fixtures.documents import documents_batch
+    from geo_epic_ray.state.manifest import span_hash_fnv
+
+    t = documents_batch(np.arange(50, dtype=np.int64))
+    h0 = span_hash_fnv(t)
+
+    # row order must not matter
+    perm = t.take(list(reversed(range(t.num_rows))))
+    assert span_hash_fnv(perm) == h0
+
+    def rebuild(mutate):
+        rows = t.to_pylist()
+        mutate(rows)
+        return pa.Table.from_pylist(rows, schema=t.schema)
+
+    # find a doc with >= 2 spans and swap them: hash must change
+    rows0 = t.to_pylist()
+    multi = next(i for i, r in enumerate(rows0) if len(r["spans"]) >= 2)
+
+    def swap(rows):
+        s = rows[multi]["spans"]
+        s[0], s[1] = s[1], s[0]
+
+    assert span_hash_fnv(rebuild(swap)) != h0
+
+    # each field is load-bearing
+    for field, val in [("kind", "audio"), ("text", "x"), ("media_ref", "m"),
+                       ("offset", 99)]:
+        def mut(rows, field=field, val=val):
+            rows[multi]["spans"][1][field] = val
+
+        assert span_hash_fnv(rebuild(mut)) != h0, field
+
+    # dropping a span changes it too
+    def drop(rows):
+        rows[multi]["spans"].pop()
+
+    assert span_hash_fnv(rebuild(drop)) != h0
