@@ -1018,6 +1018,32 @@ FROM agg
 """
 
 
+def audio_stats_sql(n_refs: int = 200, seed: int = 42, rate: int = 8000) -> str:
+    """queries_ext4.multimodal_audio_stats: the WAV payloads' PCM streams
+    are splitmix draws (stages/multimodal.synth_audio_table), so the
+    oracle regenerates every sample and recomputes n_samples / duration /
+    RMS — a bit-exact check THROUGH a binary codec round trip (encode_wav
+    -> actor-pool decode -> stats). The squared-sample sum stays under
+    2^53, so float64 and HUGEINT agree exactly; sqrt ulp noise sits ~5
+    orders under the round-even-6 tolerance."""
+    h_n, c_n = hash_u64_cols("i", seed, 98, "an")
+    h_s, c_s = hash_u64_cols("(i * 4096 + j)", seed, 97, "as")
+    return f"""
+WITH refs AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_refs})),
+lens AS (SELECT i, {h_n}, 400 + CAST({c_n} % 800 AS BIGINT) AS n FROM refs),
+samp AS (SELECT i, n, CAST(unnest(range(n)) AS BIGINT) AS j FROM lens),
+vals AS (SELECT i, n, {h_s},
+                CAST({c_s} % 65536 AS BIGINT) - 32768 AS x
+         FROM samp),
+agg AS (SELECT i, n, sum(CAST(x AS HUGEINT) * x) AS ss FROM vals GROUP BY i, n)
+SELECT 'aud-' || lpad(CAST(i AS VARCHAR), 5, '0') AS media_ref,
+       n AS n_samples, {rate} AS sample_rate, 1 AS channels,
+       round_even(n / {rate}.0, 6) AS duration_s,
+       round_even(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms
+FROM agg
+"""
+
+
 def winnow_pairs_sql(
     docs_cte: str, k: int = 5, window: int = 8,
     min_shared: int = 3, max_df: int = 16,

@@ -1167,3 +1167,35 @@ def ngram_jaccard_pairs_q(sf_dir: str):
         return b
 
     return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
+
+
+# --- REAL audio decode with a bit-exact oracle --------------------------------
+
+
+def _audio_sql() -> str:
+    from . import oracle_sql
+
+    return oracle_sql.audio_stats_sql(n_refs=200)
+
+
+@register("multimodal_audio_stats", _audio_sql())
+def multimodal_audio_stats(sf_dir: str):
+    """Audio leg of the multimodal family, REAL end to end: deterministic
+    RIFF/PCM WAV payloads (stages/codecs.encode_wav) -> actor-pool
+    AudioDecode (pure-stdlib parser) -> per-clip duration + RMS. Unlike
+    the image/frame queries, this one carries a bit-exact DuckDB oracle:
+    the PCM streams are splitmix draws the SQL regenerates, and the
+    squared-sample sums are < 2^53 so the stats are exact — the oracle
+    therefore verifies the codec round trip itself, not just row
+    counts."""
+    from ..stages.multimodal import AudioDecode, synth_audio_table
+
+    refs = [f"aud-{i:05d}" for i in range(200)]
+    ds = rd.from_arrow(synth_audio_table(refs)).repartition(4)
+    out = ds.map_batches(
+        AudioDecode, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return out.select_columns(
+        ["media_ref", "n_samples", "sample_rate", "channels",
+         "duration_s", "rms"]
+    )

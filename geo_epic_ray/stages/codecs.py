@@ -183,3 +183,45 @@ def decode_image(buf: bytes) -> np.ndarray:
         "unrecognized image format (PNG and 24-bit BMP decode in-sandbox; "
         "other codecs need an image library)"
     )
+
+
+# --- WAV (RIFF PCM) -----------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Byte-valid RIFF/WAVE, PCM 16-bit. ``samples``: (n,) int16 mono or
+    (n, ch) int16 interleaved-on-write."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    data = x.reshape(-1).astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """(samples (n, ch) int16, rate). PCM 16-bit only — asserted loudly."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, rate, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        kind = buf[pos : pos + 4]
+        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        chunk = buf[pos + 8 : pos + 8 + size]
+        if kind == b"fmt ":
+            tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
+            if tag != 1:
+                raise NotImplementedError(f"only PCM WAV (got format tag {tag})")
+        elif kind == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if data is None or rate is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM (got {bits})")
+    x = np.frombuffer(data, dtype="<i2")
+    return x.reshape(-1, ch), int(rate)

@@ -75,6 +75,79 @@ def synth_image_table(refs: list[str], seed: int = 42, fmt: str = "mixed") -> pa
     )
 
 
+def synth_audio_table(refs: list[str], seed: int = 42, rate: int = 8000) -> pa.Table:
+    """REAL encoded WAV payloads (RIFF PCM 16-bit mono, deterministic
+    splitmix samples) for the real audio-decode path. Sample j of ref i
+    is ``hash_u64(i*4096 + j, seed, 97) % 65536 - 32768`` — pure
+    per-element integer math, so a SQL oracle regenerates the exact PCM
+    stream (see oracle_sql.audio_stats_sql)."""
+    from .codecs import encode_wav
+
+    payloads = []
+    for i, _ in enumerate(refs):
+        # % must stay in uint64: numpy promotes uint64 % python-int to
+        # FLOAT64, silently corrupting the low bits of a 2^63-scale hash
+        n = 400 + int(hash_u64(np.array([i]), seed, 98)[0] % np.uint64(800))
+        x = (
+            hash_u64(np.int64(i) * 4096 + np.arange(n), seed, 97)
+            % np.uint64(65536)
+        ).astype(np.int64) - 32768
+        payloads.append(encode_wav(x.astype(np.int16), rate))
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "media_kind": pa.array(["audio"] * len(refs), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+class AudioDecode:
+    """media binary -> (n_samples, sample_rate, channels, duration_s,
+    rms). Actor-pool stage like ImageDecode; the real path parses
+    RIFF/PCM WAV with the pure-stdlib codec (stages/codecs.py,
+    sample-exact round-trip tests). RMS and duration are exact: the sum
+    of squared int16 samples stays under 2^53, so float64 accumulation
+    is integer-exact regardless of order, and both round half-to-even
+    to 6 — which is what lets the gate query carry a bit-exact DuckDB
+    oracle for a binary-codec stage. ``fake=True`` keeps a codec-free
+    stand-in (n_bytes-derived pseudo stats)."""
+
+    def __init__(self, fake: bool = False):
+        from .codecs import decode_wav
+
+        self._decode = decode_wav
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if self.fake:
+            nb = batch["n_bytes"].to_numpy(zero_copy_only=False)
+            ns = np.maximum(1, (nb - 44) // 2)
+            rate = np.full(n, 8000, dtype=np.int64)
+            ch = np.ones(n, dtype=np.int64)
+            rms = np.round(np.sqrt(nb.astype(np.float64)), 6)
+        else:
+            ns = np.empty(n, dtype=np.int64)
+            rate = np.empty(n, dtype=np.int64)
+            ch = np.empty(n, dtype=np.int64)
+            rms = np.empty(n, dtype=np.float64)
+            for i, payload in enumerate(batch["payload"].to_pylist()):
+                x, r = self._decode(payload)
+                ns[i], ch[i], rate[i] = x.shape[0], x.shape[1], r
+                sq = x.astype(np.float64) ** 2
+                rms[i] = round(float(np.sqrt(sq.mean())), 6)
+        dur = np.round(ns / np.maximum(rate, 1), 6)
+        return (
+            batch.append_column("n_samples", pa.array(ns))
+            .append_column("sample_rate", pa.array(rate))
+            .append_column("channels", pa.array(ch))
+            .append_column("duration_s", pa.array(dur))
+            .append_column("rms", pa.array(rms))
+        )
+
+
 class ImageDecode:
     """media binary -> (height, width, channels, pixels). Actor-pool stage:
     ``map_batches(ImageDecode, concurrency=N, batch_size=64, num_cpus=1)``

@@ -402,3 +402,49 @@ def test_event_gap_stats_single_event_user_emits_null(ray_session, tmp_path):
     # the null must be a true Arrow null, not NaN or a sentinel
     mg = tbl.column("mean_gap_us")
     assert mg.null_count == 1
+
+
+def test_wav_codec_roundtrip():
+    from geo_epic_ray.stages.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, 1234, dtype=np.int16)
+    x, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and x.shape == (1234, 1)
+    np.testing.assert_array_equal(x[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (500, 2), dtype=np.int16)
+    y, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100
+    np.testing.assert_array_equal(y, stereo)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"not a wav at all....")
+
+
+def test_audio_decode_stage(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.codecs import decode_wav
+    from geo_epic_ray.stages.multimodal import AudioDecode, synth_audio_table
+
+    refs = [f"a-{i}" for i in range(40)]
+    tbl = synth_audio_table(refs)
+    out = (
+        rd.from_arrow(tbl).repartition(4)
+        .map_batches(AudioDecode, batch_format="pyarrow", batch_size=16,
+                     concurrency=2)
+        .to_pandas().sort_values("media_ref").reset_index(drop=True)
+    )
+    assert len(out) == 40
+    assert (out.sample_rate == 8000).all() and (out.channels == 1).all()
+    # spot-check one clip against a direct decode
+    row = out[out.media_ref == "a-7"].iloc[0]
+    payload = tbl.filter(
+        __import__("pyarrow").compute.equal(tbl["media_ref"], "a-7")
+    )["payload"][0].as_py()
+    x, rate = decode_wav(payload)
+    assert row.n_samples == x.shape[0]
+    want = round(float(np.sqrt((x[:, 0].astype(np.float64) ** 2).mean())), 6)
+    assert row.rms == want
+    assert row.duration_s == round(x.shape[0] / rate, 6)
