@@ -448,3 +448,49 @@ def test_audio_decode_stage(ray_session):
     want = round(float(np.sqrt((x[:, 0].astype(np.float64) ** 2).mean())), 6)
     assert row.rms == want
     assert row.duration_s == round(x.shape[0] / rate, 6)
+
+
+def test_codec_roundtrips_property():
+    """Property tests: any int16 PCM signal and any 8-bit RGB/RGBA image
+    survive the pure-stdlib codecs bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    from geo_epic_ray.stages.codecs import (decode_bmp, decode_png,
+                                            decode_wav, encode_bmp,
+                                            encode_png, encode_wav)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        x=hnp.arrays(np.int16, st.integers(1, 400)),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_rt(x, ch, rate):
+        sig = np.stack([x] * ch, axis=1) if ch > 1 else x
+        y, r = decode_wav(encode_wav(sig, rate))
+        assert r == rate
+        np.testing.assert_array_equal(y, sig.reshape(len(x), ch))
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        img=hnp.arrays(np.uint8, st.tuples(st.integers(1, 12),
+                                           st.integers(1, 12),
+                                           st.sampled_from([3]))),
+    )
+    def bmp_rt(img):
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        img=hnp.arrays(np.uint8, st.tuples(st.integers(1, 12),
+                                           st.integers(1, 12),
+                                           st.sampled_from([3, 4]))),
+    )
+    def png_rt(img):
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    wav_rt()
+    bmp_rt()
+    png_rt()
