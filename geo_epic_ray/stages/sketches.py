@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from ..fixtures.rng import splitmix64
@@ -198,6 +199,113 @@ def tdigest_quantiles(
     for blob in parts.digest:
         acc = acc.merge(TDigest.from_bytes(blob, delta))
     return {q: acc.quantile(q) for q in qs}
+
+
+def _k1_bins(q_mid: np.ndarray, delta: int) -> np.ndarray:
+    """t-digest k1 scale-function binning: bin = floor(delta * k1(q)),
+    k1(q) = asin(2q-1)/pi + 0.5 — small bins at the tails (where the
+    slope of k1 is large), wide in the middle. Every op (asin, /, floor)
+    evaluates bit-identically in numpy and DuckDB, which is the point."""
+    return np.floor(delta * (np.arcsin(2.0 * q_mid - 1.0) / np.pi + 0.5)).astype(np.int64)
+
+
+def _binned_centroids(v: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-shot binned compress of a value multiset: sort, assign each
+    rank's mid-quantile to a k1 bin, emit per-bin (bin, mean, weight).
+    A pure function of the multiset (equal values are interchangeable
+    across a bin boundary), hence partition- and order-independent —
+    unlike the greedy k1 compress (TDigest above), which folds
+    sequentially and depends on insertion batching."""
+    v = np.sort(np.asarray(v, dtype=np.float64))
+    n = v.size
+    bins = _k1_bins((np.arange(n) + 0.5) / n, delta)
+    offsets = np.concatenate([[0], np.flatnonzero(np.diff(bins)) + 1])
+    w = np.diff(np.concatenate([offsets, [n]])).astype(np.float64)
+    # np.add.reduceat is a sequential in-order fold — matches DuckDB's
+    # list_sum(list(value ORDER BY value)) accumulation exactly
+    return bins[offsets], np.add.reduceat(v, offsets) / w, w
+
+
+def merge_binned_centroids(
+    cent: pd.DataFrame, qs: list[float], delta: int
+) -> dict[float, float]:
+    """One-shot merge of per-bucket binned digests + quantile read-out.
+    ``cent`` columns: bkt, bin, m, w (<= n_buckets * delta rows — driver
+    sized by construction). Deterministic total order (m, bkt, bin);
+    integer-valued weights keep every cumulative sum exact."""
+    cent = cent.sort_values(["m", "bkt", "bin"], kind="stable")
+    m = cent.m.to_numpy()
+    w = cent.w.to_numpy()
+    total = w.sum()
+    cum = np.cumsum(w)
+    bin2 = _k1_bins((cum - w / 2.0) / total, delta)
+    offsets = np.concatenate([[0], np.flatnonzero(np.diff(bin2)) + 1])
+    W = np.add.reduceat(w, offsets)
+    M = np.add.reduceat(m * w, offsets) / W
+    cmid = np.cumsum(W) - W / 2.0
+    out = {}
+    for q in qs:
+        t = q * total
+        j = int(np.searchsorted(cmid, t, side="right")) - 1
+        if j < 0:
+            e = M[0]
+        elif j >= M.size - 1:
+            e = M[-1]
+        else:
+            e = M[j] + (M[j + 1] - M[j]) / (cmid[j + 1] - cmid[j]) * (t - cmid[j])
+        out[q] = float(e)
+    return out
+
+
+def binned_tdigest_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    key_col: str,
+    qs: list[float],
+    *,
+    delta: int = 100,
+    n_buckets: int = 8,
+) -> dict[float, float]:
+    """DETERMINISTIC distributed t-digest quantiles — the replayable
+    variant (VERDICT r3 #1): rows route to ``key_col % n_buckets``
+    partitions through the task exchange, each bucket compresses its
+    value multiset with the k1 binning (partition-independent), and the
+    driver merges <= n_buckets * delta centroids in one fixed-order
+    pass. Every arithmetic step is replayable bit-exactly in SQL
+    (pipelines/oracle_sql.py: tdigest_replay_sql), so the estimate
+    itself is oracle-checkable — not just its error bound.
+
+    Tradeoff vs ``tdigest_quantiles`` (classic greedy digest): this path
+    pays one value-column exchange (8 bytes/row) so each bucket sees its
+    whole multiset; n_buckets is the scale knob (reducer count). The
+    classic path stays shuffle-free but its centroids depend on block
+    boundaries, which no oracle can replay."""
+    from .exchange import column_values_bucket_fn, group_map, scatter
+
+    def add_bkt(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({col: tbl.column(col), "bkt": k % n_buckets})
+
+    def per_bucket(tbl: pa.Table) -> pd.DataFrame:
+        bins, means, weights = _binned_centroids(
+            tbl.column(col).to_numpy(zero_copy_only=False), delta
+        )
+        bkt = int(tbl.column("bkt")[0].as_py())
+        return pd.DataFrame({"bkt": bkt, "bin": bins, "m": means, "w": weights})
+
+    per_bucket.wants_arrow = True
+
+    parts = scatter(
+        ds.map_batches(add_bkt, batch_format="pyarrow"),
+        n_buckets,
+        column_values_bucket_fn("bkt"),
+    )
+    empty = pd.DataFrame(
+        {"bkt": pd.Series([], dtype=np.int64), "bin": pd.Series([], dtype=np.int64),
+         "m": pd.Series([], dtype=np.float64), "w": pd.Series([], dtype=np.float64)}
+    )
+    cent = group_map(parts, per_bucket, empty).to_pandas()
+    return merge_binned_centroids(cent, qs, delta)
 
 
 class CountMinSketch:

@@ -95,3 +95,44 @@ def test_hll_grouped_matches_global_merge(ray_session):
         assert abs(got[k] - want) < 1e-9, (k, got[k], want)
         exact = len(np.unique(vals))
         assert abs(got[k] - exact) / exact < 0.05
+
+
+def test_binned_tdigest_deterministic_and_accurate(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.sketches import (
+        _binned_centroids,
+        binned_tdigest_quantiles,
+        merge_binned_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    vals = np.concatenate([rng.normal(50, 9, n // 2), rng.exponential(20, n // 2)])
+    keys = rng.integers(0, 1 << 30, n).astype(np.int64)
+    df = pd.DataFrame({"event_id": keys, "value": vals})
+
+    # partition-independence: the binned compress is a pure function of
+    # the multiset, so different block splits give identical centroids
+    b1 = _binned_centroids(vals, 100)
+    b2 = _binned_centroids(np.random.default_rng(0).permutation(vals), 100)
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x, y)
+
+    import ray.data as rd
+    ds4 = rd.from_pandas(df).repartition(4)
+    ds16 = rd.from_pandas(df).repartition(16)
+    qs = [0.1, 0.5, 0.9]
+    e4 = binned_tdigest_quantiles(ds4, "value", "event_id", qs)
+    e16 = binned_tdigest_quantiles(ds16, "value", "event_id", qs)
+    assert e4 == e16  # bit-identical across partitionings
+    spread = vals.max() - vals.min()
+    for q in qs:
+        assert abs(e4[q] - np.quantile(vals, q)) / spread < 0.01, (q, e4[q])
+
+    # driver merge edge branches: a quantile below the first centroid
+    # midpoint and above the last one clamp instead of extrapolating
+    cent = pd.DataFrame({"bkt": [0, 0], "bin": [0, 1], "m": [1.0, 9.0], "w": [4.0, 4.0]})
+    out = merge_binned_centroids(cent, [0.01, 0.99, 0.5], delta=100)
+    assert out[0.01] == 1.0 and out[0.99] == 9.0
+    assert 1.0 < out[0.5] < 9.0
