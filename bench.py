@@ -194,11 +194,18 @@ def scaling():
         round((s["value"] / l["value"]) / (hi / lo), 3)
         for s, l in zip(results[lo], results[hi])
     ]
+    # the max of N noisy ratios is selection-biased upward (ADVICE r3):
+    # the MEDIAN is the headline; best is kept alongside as the cleanest
+    # single window observed
+    med = sorted(paired)[len(paired) // 2] if len(paired) % 2 else round(
+        (sorted(paired)[len(paired) // 2 - 1] + sorted(paired)[len(paired) // 2]) / 2, 3
+    )
     print(
         json.dumps(
             {
                 "metric": "scaling efficiency (pinned cpusets, interleaved legs, best-of-rounds)",
                 "paired_efficiency_per_round": paired,
+                "median_paired_efficiency": med,
                 "best_paired_efficiency": max(paired),
                 "cpus_small": lo,
                 "cpus_large": hi,

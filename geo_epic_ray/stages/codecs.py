@@ -223,5 +223,11 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError("WAV missing fmt/data chunk")
     if bits != 16:
         raise NotImplementedError(f"only 16-bit PCM (got {bits})")
+    if ch is None or ch < 1:
+        raise NotImplementedError(f"malformed fmt chunk: channels={ch}")
+    if len(data) % (2 * ch):
+        raise NotImplementedError(
+            f"data chunk length {len(data)} not a multiple of frame size {2 * ch}"
+        )
     x = np.frombuffer(data, dtype="<i2")
     return x.reshape(-1, ch), int(rate)

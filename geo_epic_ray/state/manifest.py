@@ -78,9 +78,14 @@ def span_hash_of(table: pa.Table, span_col: str = "spans", id_col: str = "doc_id
             rem >>= np.uint64(1)
             base = (base * base) & ((1 << 64) - 1)
         folded = span_h * powers
+        # reduce only at non-empty docs' starts: those are strictly
+        # increasing and < len(flat), so no segment is truncated even when
+        # trailing docs have empty span lists (empty docs between two
+        # non-empty starts contribute no rows to the left segment)
         nonempty = counts > 0
-        sums = np.add.reduceat(folded, np.minimum(offsets[:-1], len(flat) - 1))
-        doc_fold[nonempty] = sums[nonempty]
+        starts = offsets[:-1][nonempty]
+        if starts.size:
+            doc_fold[nonempty] = np.add.reduceat(folded, starts)
     ids = (
         pl.from_arrow(pa.table({"i": table[id_col]})).hash_rows(seed=11).to_numpy()
     ).astype(np.uint64)
@@ -161,9 +166,12 @@ def span_hash_fnv(table: pa.Table, span_col: str = "spans", id_col: str = "doc_i
             rem >>= 1
             b = (b * b) & ((1 << 64) - 1)
         folded = span_h * powers
+        # see span_hash_of: reduceat at non-empty starts only, so a
+        # trailing zero-span doc can't truncate the last real segment
         nonempty = counts > 0
-        sums = np.add.reduceat(folded, np.minimum(offsets[:-1], len(flat) - 1))
-        doc_fold[nonempty] = sums[nonempty]
+        starts = offsets[:-1][nonempty]
+        if starts.size:
+            doc_fold[nonempty] = np.add.reduceat(folded, starts)
     ids = _fnv1a_codepoints(
         np.asarray(table[id_col].to_pylist(), dtype=object)
     )

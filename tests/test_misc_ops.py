@@ -421,6 +421,21 @@ def test_wav_codec_roundtrip():
     with pytest.raises(NotImplementedError):
         decode_wav(b"not a wav at all....")
 
+    # malformed fmt chunks fail the codec's loud contract, not reshape
+    import struct
+
+    good = bytes(encode_wav(mono, 8000))
+    zero_ch = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    struct.pack_into("<H", zero_ch, fmt_at + 2, 0)  # channels = 0
+    with pytest.raises(NotImplementedError, match="channels"):
+        decode_wav(bytes(zero_ch))
+    odd_frames = bytearray(encode_wav(stereo, 44100))
+    data_at = bytes(odd_frames).index(b"data")
+    struct.pack_into("<I", odd_frames, data_at + 4, 500 * 4 - 2)  # ragged frame
+    with pytest.raises(NotImplementedError, match="frame size"):
+        decode_wav(bytes(odd_frames))
+
 
 def test_audio_decode_stage(ray_session):
     import ray.data as rd

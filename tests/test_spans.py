@@ -127,3 +127,28 @@ def test_span_hash_fnv_properties():
         rows[multi]["spans"].pop()
 
     assert span_hash_fnv(rebuild(drop)) != h0
+
+
+def test_span_hash_trailing_empty_doc_order_insensitive():
+    """Regression (ADVICE r3): a table whose TRAILING docs have empty span
+    lists must hash identically to any permutation of the same rows — the
+    old reduceat index clamp truncated the last non-empty doc's segment."""
+    import pyarrow as pa
+
+    from geo_epic_ray.fixtures.documents import documents_batch
+    from geo_epic_ray.state.manifest import span_hash_fnv, span_hash_of
+
+    t = documents_batch(np.arange(8, dtype=np.int64))
+    rows = t.to_pylist()
+    rows[-1]["spans"] = []          # one trailing empty doc
+    rows[-2]["spans"] = []          # two, to exercise repeated offsets
+    t2 = pa.Table.from_pylist(rows, schema=t.schema)
+    perm = t2.take([6, 7] + list(range(6)))  # empties first
+    for fn in (span_hash_fnv, span_hash_of):
+        assert fn(t2) == fn(perm), fn.__name__
+
+    # an all-empty table still hashes (no reduceat call at all)
+    rows_e = [dict(r, spans=[]) for r in rows]
+    t3 = pa.Table.from_pylist(rows_e, schema=t.schema)
+    for fn in (span_hash_fnv, span_hash_of):
+        assert fn(t3) == fn(t3.take(list(reversed(range(8))))), fn.__name__
