@@ -1402,26 +1402,75 @@ def session_windows(sf_dir: str):
 # --- resumable write through the gate ----------------------------------------
 
 
-@register("flagship_write_resume")
+def _flagship_resume_sql() -> str:
+    """Content replay of the read-back: the written rows carry the
+    SQL-replayable enrichment (geo_enrich_full's oracle math), so per-tile
+    sums over the COMMITTED OUTPUT verify the write + manifest + resume +
+    read-back path end to end — a dropped fragment, double-written shard,
+    or corrupted resume changes a sum."""
+    from ..geo.extent import doc_point_sql
+    from .queries import _grid_knn_cte, _mukey_sql, _tile_sql
+
+    lat, lon = doc_point_sql("d.doc_id")
+    return f"""
+WITH {_grid_knn_cte()}
+SELECT {_tile_sql(lat, lon)} AS tile_id,
+       count(*) AS n_rows,
+       CAST(sum(d.doc_id) AS BIGINT) AS sum_doc,
+       CAST(sum({_mukey_sql(lat, lon)}) AS BIGINT) AS sum_mukey,
+       CAST(sum(knn.grid_id) AS BIGINT) AS sum_grid
+FROM documents d JOIN knn ON d.doc_id = knn.doc_id
+GROUP BY 1
+"""
+
+
+@register("flagship_write_resume", _flagship_resume_sql())
 def flagship_write_resume(sf_dir: str):
     """The fragment-layout resumable write, exercised end-to-end at gate
-    scale: writes the enriched sf documents into salted spatial partition
-    fragments under /tmp, then returns the per-shard report. Running the
-    gate twice demonstrates the skip (second pass recomputes nothing)."""
+    scale: writes the enriched sf documents into spatial partition
+    fragments under /tmp, runs the writer AGAIN (the second pass must
+    skip every committed shard — asserted), then reads the committed
+    output back through the manifest and aggregates per tile. The DuckDB
+    oracle replays the expected content analytically, so the hash compare
+    verifies the resumable-write round trip, not just row counts."""
     import hashlib
     import os
 
-    from .flagship import run_flagship_fragments
+    from ..stages.aggregates import partials_to_driver
+    from .flagship import read_flagship_output, run_flagship_fragments
 
     out = f"/tmp/graft_gate_write/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     os.makedirs(out, exist_ok=True)
-    report = run_flagship_fragments(
-        [f"{sf_dir}/documents.parquet"], out,
-        input_fingerprint=f"gate-{sf_dir}", wave_size=8,
+    # "gate2": bumped once so pre-oracle gate state under the stable /tmp
+    # dir is recomputed (demote + sweep) instead of trusted
+    fp = f"gate2-{sf_dir}"
+    run_flagship_fragments(
+        [f"{sf_dir}/documents.parquet"], out, input_fingerprint=fp, wave_size=8
     )
-    # stable rows-only shape: one row per shard with its row count
-    done = report.groupby("shard", as_index=False)["rows"].sum()
-    return done.sort_values("shard").reset_index(drop=True)
+    again = run_flagship_fragments(
+        [f"{sf_dir}/documents.parquet"], out, input_fingerprint=fp, wave_size=8
+    )
+    if not bool(again["skipped"].all()):
+        raise AssertionError("resume pass recomputed a committed shard")
+
+    back = read_flagship_output(
+        out, columns=["doc_id", "mukey", "grid_id", "tile_id"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("tile_id", as_index=False).agg(
+            n_rows=("doc_id", "size"), sum_doc=("doc_id", "sum"),
+            sum_mukey=("mukey", "sum"), sum_grid=("grid_id", "sum"),
+        )
+        return g
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("tile_id", as_index=False).sum()
+        return g.sort_values("tile_id").reset_index(drop=True)
+
+    return partials_to_driver(
+        back.map_batches(partial, batch_format="pandas"), final
+    )
 
 
 # --- predicate pushdown at the read ------------------------------------------
@@ -1964,74 +2013,171 @@ def stratified_sample(sf_dir: str):
 # --- multimodal plumbing through the gate ------------------------------------
 
 
-@register("multimodal_decode_resize")
-def multimodal_decode_resize(sf_dir: str):
-    """The multimodal decode -> resize chain over media refs extracted
-    from the synthetic interleaved corpus (media spans of the first 256
-    docs), with REAL decode: payloads are byte-valid PNG and 24-bit BMP
-    files (stages/codecs.py, stdlib-only, pixel-exact tests) sniffed per
-    row inside the actor pool. Rows-only (engine-native operator)."""
-    from ..fixtures.documents import documents_batch
-    from ..stages.multimodal import decode_pipeline, synth_image_table
+def _mm_pixel_ctes(n_refs: int, seed: int, t: int) -> str:
+    """CTE chain regenerating the RESIZED pixel stream of
+    synth_image_table -> ImageDecode -> ImageResize(target=t):
+    synth_image_table's source pixels are splitmix draws (value at flat
+    index q of image i is hash_u64(q + i*100003, seed, 97) % 256), and
+    the nearest-neighbor resize picks source index
+    ((y*h//t)*w + (x*w//t))*3 + c — all integer math. Ends with
+    ``val(i, h, w, p, v)``: image i's resized byte p (0..t*t*3-1) is v."""
+    from . import oracle_sql as osql
 
-    docs = documents_batch(np.arange(256, dtype=np.int64))
-    refs = []
-    for spans in docs["spans"].to_pylist():
-        for s in spans:
-            if s["kind"] in ("image", "audio") and s["media_ref"]:
-                refs.append(s["media_ref"])
-    media = synth_image_table(refs[:400], fmt="mixed")
-    out = decode_pipeline(rd.from_arrow(media), fake=False, concurrency=2)
+    h_h, c_h = osql.hash_u64_cols("i", seed, 95, "mh")
+    h_w, c_w = osql.hash_u64_cols("i", seed, 96, "mw")
+    h_v, c_v = osql.hash_u64_cols("(q + i * 100003)", seed, 97, "mv")
+    npix = t * t * 3
+    return f"""
+refs AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_refs})),
+dims AS (SELECT i, {h_h}, {h_w},
+                6 + CAST({c_h} % 6 AS BIGINT) AS h,
+                6 + CAST({c_w} % 6 AS BIGINT) AS w
+         FROM refs),
+pos AS (SELECT i, h, w, CAST(unnest(range({npix})) AS BIGINT) AS p FROM dims),
+src AS (SELECT i, h, w, p,
+               (((p // {3 * t}) * h // {t}) * w
+                + (((p % {3 * t}) // 3) * w // {t})) * 3 + (p % 3) AS q
+        FROM pos),
+val AS (SELECT i, h, w, p, {h_v}, CAST({c_v} % 256 AS BIGINT) AS v FROM src)"""
+
+
+def _mm_resize_sql(n_refs: int = 200, seed: int = 42, t: int = 4) -> str:
+    """Pixel replay of decode->resize THROUGH the PNG/BMP codec round
+    trip, checked with a position-weighted checksum."""
+    return f"""
+WITH {_mm_pixel_ctes(n_refs, seed, t)},
+agg AS (SELECT i, any_value(h) AS h, any_value(w) AS w,
+               sum((p + 1) * v) AS cks, sum(v) AS spx
+        FROM val GROUP BY i)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 5, '0') AS media_ref,
+       h AS src_height, w AS src_width,
+       CAST(cks AS BIGINT) AS checksum, CAST(spx AS BIGINT) AS sum_pix
+FROM agg
+"""
+
+
+@register("multimodal_decode_resize", _mm_resize_sql())
+def multimodal_decode_resize(sf_dir: str):
+    """The multimodal decode -> resize chain with REAL codecs end to end:
+    payloads are byte-valid PNG and 24-bit BMP files (stages/codecs.py,
+    stdlib-only) sniffed per row inside the actor pool, decoded, then
+    nearest-neighbor resized to 4x4. The DuckDB oracle regenerates the
+    source pixels analytically and replays the resize index math, so the
+    hash compare is pixel-exact through both codecs — the image analogue
+    of multimodal_audio_stats' bit-exact WAV oracle."""
+    from ..stages.multimodal import ImageDecode, ImageResize, synth_image_table
+
+    refs = [f"img-{i:05d}" for i in range(200)]
+    media = synth_image_table(refs, fmt="mixed")
+    decoded = rd.from_arrow(media).repartition(4).map_batches(
+        ImageDecode, batch_format="pyarrow", batch_size=64, concurrency=2,
+        fn_constructor_kwargs={"fake": False},
+    )
+
+    def keep_dims(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "src_height", b["height"]
+        ).append_column("src_width", b["width"])
+
+    resized = decoded.map_batches(keep_dims, batch_format="pyarrow").map_batches(
+        ImageResize, batch_format="pyarrow", batch_size=64, concurrency=2,
+        fn_constructor_kwargs={"target": 4},
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        wts = np.arange(1, 49, dtype=np.int64)
+        pix = [np.frombuffer(p, dtype=np.uint8).astype(np.int64) for p in b.pixels]
+        return pd.DataFrame(
+            {
+                "media_ref": b.media_ref,
+                "src_height": b.src_height.astype(np.int64),
+                "src_width": b.src_width.astype(np.int64),
+                "checksum": [int(v @ wts) for v in pix],
+                "sum_pix": [int(v.sum()) for v in pix],
+            }
+        )
+
+    return resized.map_batches(project, batch_format="pandas")
+
+
+def _mm_feature_ann_sql(
+    n_refs: int = 200, seed: int = 42, t: int = 4, dim: int = 16,
+    w_seed: int = 77, k: int = 5,
+) -> str:
+    """Replay of decode -> resize -> FeatureExtract -> cosine top-k: the
+    resized pixels are regenerated analytically (_mm_pixel_ctes), the
+    projection weights — numpy Gaussian draws — are inlined as full-
+    precision float literals (the winnow_pairs_sql precedent), and the
+    matmul / L2-normalize / cosine run in SQL. Sums associate differently
+    than numpy's pairwise reduction, so cosines agree to ~1e-14 and the
+    output carries round_even(·, 6)."""
+    w = np.random.default_rng(w_seed).standard_normal((t * t * 3, dim)) / np.sqrt(dim)
+    wlist = "[" + ", ".join(repr(float(x)) for x in w.ravel()) + "]"
+    return f"""
+WITH {_mm_pixel_ctes(n_refs, seed, t)},
+wt AS (SELECT CAST(range // {dim} AS BIGINT) AS p,
+              CAST(range % {dim} AS BIGINT) AS d,
+              list_extract({wlist}, CAST(range AS BIGINT) + 1) AS wv
+       FROM range({t * t * 3 * dim})),
+feat AS (SELECT val.i, wt.d,
+                sum((val.v - 127.5) / 127.5 * wt.wv) AS f
+         FROM val JOIN wt ON val.p = wt.p GROUP BY val.i, wt.d),
+nrm AS (SELECT i, greatest(sqrt(sum(f * f)), 1e-12) AS nf FROM feat GROUP BY i),
+fn AS (SELECT feat.i, feat.d, feat.f / nrm.nf AS f
+       FROM feat JOIN nrm ON feat.i = nrm.i),
+qv AS (SELECT d, f AS qf FROM fn WHERE i = 0),
+sim AS (SELECT fn.i, sum(fn.f * qv.qf) AS s
+        FROM fn JOIN qv ON fn.d = qv.d GROUP BY fn.i),
+top AS (SELECT i, s, row_number() OVER (
+          ORDER BY s DESC, 'img-' || lpad(CAST(i AS VARCHAR), 5, '0')) AS rank
+        FROM sim)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 5, '0') AS media_ref,
+       CAST(rank AS BIGINT) AS rank, round_even(s, 6) AS cosine6
+FROM top WHERE rank <= {k}
+"""
+
+
+@register("multimodal_feature_ann", _mm_feature_ann_sql())
+def multimodal_feature_ann(sf_dir: str):
+    """Multimodal-to-similarity end to end, REAL codecs: PNG/BMP payloads
+    -> actor-pool decode -> resize -> batched feature extraction (model
+    weights built once per actor) -> exact cosine top-5 of image 0's
+    feature vector. The DuckDB oracle replays the whole chain — pixels,
+    projection weights (inlined literals), normalization, cosine — so
+    the compare verifies the feature math, not just row counts."""
+    from ..stages.multimodal import (
+        FeatureExtract, ImageDecode, ImageResize, feature_pipeline,
+        synth_image_table,
+    )
+    from ..stages.similarity import ann_topk
+
+    refs = [f"img-{i:05d}" for i in range(200)]
+    media = synth_image_table(refs, fmt="mixed")
+    feats = feature_pipeline(
+        rd.from_arrow(media).repartition(4), fake=False, dim=16, concurrency=2
+    )
+
+    def to_vecs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"media_ref": b.media_ref, "embedding": b.features})
+
+    vecs = feats.map_batches(to_vecs, batch_format="pandas")
+    # the query vector: image 0 through the same (pure, deterministic)
+    # stages, computed driver-side — no extra pass over the corpus
+    one = synth_image_table(refs[:1], fmt="mixed")
+    one = FeatureExtract()(ImageResize()(ImageDecode()(one)))
+    q = np.stack(one["features"].to_pylist())
+    out = ann_topk(vecs, q, k=5, id_col="media_ref")
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "media_ref": b.media_ref,
-                "media_kind": b.media_kind,
-                "height": b.height,
-                "width": b.width,
-                "n_pixel_bytes": b.pixels.map(len),
+                "rank": b["rank"].astype(np.int64),
+                "cosine6": b.cosine.round(6),
             }
         )
 
-    return out.map_batches(project, batch_format="pandas")
-
-
-@register("multimodal_feature_ann")
-def multimodal_feature_ann(sf_dir: str):
-    """Multimodal-to-similarity end to end: media refs from the
-    interleaved corpus -> decode (stand-in) -> resize -> batched feature
-    extraction (model weights built once per actor) -> exact cosine top-5
-    of the lexically-first ref's feature vector. Codec is the documented
-    stand-in -> rows-only."""
-    from ..fixtures.documents import documents_batch
-    from ..stages.multimodal import feature_pipeline, synth_media_table
-    from ..stages.similarity import ann_topk
-
-    docs = documents_batch(np.arange(256, dtype=np.int64))
-    refs = []
-    for spans in docs["spans"].to_pylist():
-        for s in spans:
-            if s["kind"] == "image" and s["media_ref"]:
-                refs.append(s["media_ref"])
-    refs = sorted(set(refs))[:200]
-    media = synth_media_table(refs, ["image"] * len(refs))
-    feats = feature_pipeline(rd.from_arrow(media), fake=True, dim=16, concurrency=2)
-
-    def to_vecs(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"media_ref": b.media_ref, "embedding": b.features}
-        )
-
-    vecs = feats.map_batches(to_vecs, batch_format="pandas").materialize()
-    q_ref = refs[0]
-    q = np.stack(
-        vecs.map_batches(
-            lambda b: b[b.media_ref == q_ref], batch_format="pandas"
-        ).to_pandas().embedding.to_numpy()
-    )
-    out = ann_topk(vecs, q, k=5, id_col="media_ref")
-    return out.select_columns(["media_ref", "rank"]).sort("rank")
+    return out.map_batches(project, batch_format="pandas").sort("rank")
 
 
 @register("validate_soil_table", _oracle_sql.validate_soil_sql())

@@ -36,7 +36,9 @@ def synth_media_table(refs: list[str], kinds: list[str], seed: int = 42) -> pa.T
     """Deterministic fake media payloads for plumbing tests."""
     payloads = []
     for i, r in enumerate(refs):
-        n = 64 + int(hash_u64(np.array([i]), seed, 90)[0] % 192)
+        # % must stay in uint64 (scalar uint64 % python-int promotes to
+        # FLOAT64 on this numpy, corrupting the draw — see synth_audio_table)
+        n = 64 + int(hash_u64(np.array([i]), seed, 90)[0] % np.uint64(192))
         payloads.append(bytes((hash_u64(np.arange(n), seed, 91) % 256).astype(np.uint8)))
     return pa.table(
         {
@@ -56,8 +58,10 @@ def synth_image_table(refs: list[str], seed: int = 42, fmt: str = "mixed") -> pa
 
     payloads = []
     for i, _ in enumerate(refs):
-        h = 6 + int(hash_u64(np.array([i]), seed, 95)[0] % 6)
-        w = 6 + int(hash_u64(np.array([i]), seed, 96)[0] % 6)
+        # uint64 modulus (scalar % python-int promotes to float64 — the
+        # synth_audio_table trap) so the dims are SQL-replayable draws
+        h = 6 + int(hash_u64(np.array([i]), seed, 95)[0] % np.uint64(6))
+        w = 6 + int(hash_u64(np.array([i]), seed, 96)[0] % np.uint64(6))
         img = (
             (hash_u64(np.arange(h * w * 3) + i * 100003, seed, 97) % 256)
             .astype(np.uint8)
