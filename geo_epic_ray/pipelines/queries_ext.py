@@ -2191,4 +2191,4 @@ def validate_soil_table(sf_dir: str):
     from ..stages.validate import validate_sol_batch
 
     soil = rd.from_arrow(soil_polygons_table()).drop_columns(["geometry"])
-    return soil.map_batches(validate_sol_batch, batch_format="pandas", batch_size=64)
+    return soil.map_batches(validate_sol_batch, batch_format="pyarrow", batch_size=64)

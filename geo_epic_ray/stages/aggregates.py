@@ -61,6 +61,7 @@ def bucketed_group_agg(
     pandas_agg,
     n_buckets: int = 64,
     empty: pd.DataFrame | None = None,
+    max_bucket_rows: int = 4_000_000,
 ) -> rd.Dataset:
     """High-cardinality grouped aggregation: rows route to hash(keys) %
     n_buckets partitions via the task exchange (stages/exchange.py — the
@@ -73,12 +74,24 @@ def bucketed_group_agg(
     ``pandas_agg(df) -> df`` must perform the full groupby-aggregate for
     the rows it is given. ``empty`` supplies the output schema when the
     INPUT is empty (otherwise an empty input yields a schemaless empty
-    result)."""
+    result).
+
+    Skew guardrail: a bucket holding more than ``max_bucket_rows`` rows
+    (a pathological key histogram, or a miscalled ``n_buckets``) is
+    re-scattered by a SALTED hash of the same keys into
+    ceil(rows / max_bucket_rows) sub-buckets — whole key groups still
+    co-route, so the aggregation is unchanged, but no single reduce task
+    is asked to concatenate the hot bucket in memory. Costs nothing when
+    not triggered (the per-bucket counts are already on the driver)."""
     from . import exchange
 
     parts = exchange.scatter(ds, n_buckets, exchange.key_cols_bucket_fn(keys, n_buckets))
     return exchange.group_map(
-        parts, pandas_agg, empty if empty is not None else pd.DataFrame()
+        parts,
+        pandas_agg,
+        empty if empty is not None else pd.DataFrame(),
+        rebucket=lambda nb: exchange.key_cols_bucket_fn(keys, nb, salt=0x5DEECE66D),
+        max_bucket_rows=max_bucket_rows,
     )
 
 

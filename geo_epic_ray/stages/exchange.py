@@ -111,9 +111,17 @@ def _scatter_task(blk, bucket_fn: BucketFn, nb: int):
     )
 
 
+class Scattered(list):
+    """scatter()'s result: per-bucket partition-ref lists, PLUS the
+    per-bucket row totals the driver already synchronized (free skew
+    telemetry — group_map's bucket-size guardrail keys off it)."""
+
+    bucket_rows: np.ndarray
+
+
 def scatter(
     ds: rd.Dataset, n_buckets: int, bucket_fn: BucketFn
-) -> list[list[ray.ObjectRef]]:
+) -> "Scattered":
     """Split every block of ``ds`` into hash buckets, STREAMING: blocks
     are consumed as the upstream plan produces them, so scattering
     overlaps upstream execution and each input block becomes freeable
@@ -128,12 +136,16 @@ def scatter(
         for r in iter_block_refs(ds)
     ]
     if not scattered:
-        return [[] for _ in range(n_buckets)]
+        out = Scattered([] for _ in range(n_buckets))
+        out.bucket_rows = np.zeros(n_buckets, dtype=np.int64)
+        return out
     counts = ray.get([s[0] for s in scattered])
-    return [
+    out = Scattered(
         [scattered[i][1 + b] for i in range(len(scattered)) if counts[i][b] > 0]
         for b in range(n_buckets)
-    ]
+    )
+    out.bucket_rows = np.sum(np.stack(counts), axis=0).astype(np.int64)
+    return out
 
 
 def _concat(parts: tuple[pa.Table, ...]) -> pa.Table:
@@ -186,10 +198,46 @@ def group_map(
     parts: list[list[ray.ObjectRef]],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     empty: pd.DataFrame,
+    *,
+    rebucket: Callable[[int], BucketFn] | None = None,
+    max_bucket_rows: int | None = None,
 ) -> rd.Dataset:
     """One reduce task per non-empty bucket: fn(bucket_rows) -> DataFrame.
-    ``empty`` supplies the output schema when every bucket is empty."""
-    tables = [_apply_task.remote(fn, *plist) for plist in parts if plist]
+    ``empty`` supplies the output schema when every bucket is empty.
+
+    Bucket-size guardrail: when ``max_bucket_rows`` is set, ``parts`` came
+    from :func:`scatter` (so per-bucket totals are known), and the caller
+    supplies ``rebucket`` — a factory returning a KEY-RESPECTING bucketer
+    for ``n_sub`` sub-buckets (same group keys must co-route, a different
+    salt than the outer bucketing) — any bucket over the threshold is
+    re-scattered into ``ceil(rows / max_bucket_rows)`` sub-buckets and
+    reduced as several tasks instead of OOMing one reducer. Only legal for
+    kernels whose contract is per-KEY (bucketed_group_agg's "full groupby
+    of the rows given"), hence opt-in."""
+    rows = getattr(parts, "bucket_rows", None)
+    tables = []
+    for b, plist in enumerate(parts):
+        if not plist:
+            continue
+        if (
+            rebucket is not None
+            and max_bucket_rows is not None
+            and rows is not None
+            and rows[b] > max_bucket_rows
+        ):
+            n_sub = int(np.ceil(rows[b] / max_bucket_rows))
+            sub_fn = rebucket(n_sub)
+            sub = [
+                _scatter_task.options(num_returns=n_sub + 1).remote(p, sub_fn, n_sub)
+                for p in plist
+            ]
+            sub_counts = ray.get([s[0] for s in sub])
+            for sb in range(n_sub):
+                sp = [sub[i][1 + sb] for i in range(len(sub)) if sub_counts[i][sb] > 0]
+                if sp:
+                    tables.append(_apply_task.remote(fn, *sp))
+        else:
+            tables.append(_apply_task.remote(fn, *plist))
     return _result(tables, empty)
 
 
@@ -273,14 +321,18 @@ def scatter_pair(
         return fa.result(), fb.result()
 
 
-def key_cols_bucket_fn(key_cols: list[str], n_buckets: int) -> BucketFn:
+def key_cols_bucket_fn(
+    key_cols: list[str], n_buckets: int, *, salt: int = 0
+) -> BucketFn:
     """Multi-column bucketer (FNV-combine of per-column pandas hashes) —
     the ONE definition of the block-key hash every stage that co-partitions
     on the same key tuple must share (blocked_pair_edges /
-    blocked_components and any future blocking stage)."""
+    blocked_components and any future blocking stage). ``salt`` decorrelates
+    a second-level split (group_map's bucket guardrail) from the outer
+    routing; the default 0 is the shared co-partitioning hash."""
 
     def f(tbl: pa.Table) -> np.ndarray:
-        h = np.zeros(tbl.num_rows, dtype=np.uint64)
+        h = np.full(tbl.num_rows, np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
         for k in key_cols:
             # per-column 1-D conversion only of the key columns (the
             # scatter task prunes via needs_cols); string keys still go

@@ -107,12 +107,71 @@ def validate_sol_row(
     return True, ""
 
 
-def validate_sol_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    for _, r in batch.iterrows():
-        ok, msg = validate_sol_row(r["albedo"], r["hydgrp"], r["layers"])
-        out.append((r["mukey"], ok, msg))
-    return pd.DataFrame(out, columns=["mukey", "is_valid", "message"])
+def validate_sol_batch(batch: "pd.DataFrame | pa.Table") -> pd.DataFrame:
+    """Vectorized SOL validation over a batch of map units.
+
+    The nested ``layers`` column is flattened ONCE (zero-copy for Arrow
+    list<struct> input) and all 19 range rules evaluate as numpy masks
+    over the flat arrays; the first-failure-wins cascade (layer-major,
+    rule-minor — the reference's loop order) reduces to a per-doc min over
+    flat positions. Only docs that actually FAIL take a Python branch (to
+    format the reference's exact message, value included) — the all-valid
+    hot path is loop-free. The hydgrp rule is omitted: the reference's
+    ``dict.get(hydgrp, 3) not in [1,2,3,4]`` can never be true (kept
+    verbatim in validate_sol_row for single-row parity)."""
+    import pyarrow as pa
+
+    if isinstance(batch, pd.DataFrame):
+        tbl = pa.Table.from_pandas(batch, preserve_index=False)
+    else:
+        tbl = batch
+    n = tbl.num_rows
+    mukey = tbl["mukey"].to_numpy(zero_copy_only=False)
+    albedo = tbl["albedo"].to_numpy(zero_copy_only=False)
+    spans = tbl["layers"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    nf = len(flat)
+
+    # per-flat-row first failing rule (reverse iteration: earlier rules win)
+    first_rule = np.full(nf, len(SOL_LAYER_RULES), dtype=np.int16)
+    cols = {}
+    for ri in range(len(SOL_LAYER_RULES) - 1, -1, -1):
+        col, lo, hi, zero_ok = SOL_LAYER_RULES[ri]
+        v = flat.field(col).to_numpy(zero_copy_only=False)
+        cols[col] = v
+        bad = ~((v >= lo) & (v <= hi))
+        if zero_ok:
+            bad &= v != 0
+        first_rule[bad] = ri
+    fail_pos = np.where(first_rule < len(SOL_LAYER_RULES), np.arange(nf), nf)
+    doc_first = np.full(n, nf, dtype=np.int64)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    if starts.size:
+        doc_first[nonempty] = np.minimum.reduceat(fail_pos, starts)
+
+    albedo_bad = ~((albedo >= 0) & (albedo <= 1))
+    count_bad = ~((counts >= 1) & (counts <= 10))
+    layer_bad = doc_first < offsets[1:]  # first failing flat pos in this doc
+
+    msg = np.full(n, "", dtype=object)
+    for i in np.nonzero(albedo_bad | count_bad | layer_bad)[0]:
+        if albedo_bad[i]:
+            msg[i] = "Albedo should be between 0 and 1."
+        elif count_bad[i]:
+            msg[i] = "Number of layers should be between 1 and 10."
+        else:
+            p = doc_first[i]
+            col, lo, hi, _ = SOL_LAYER_RULES[first_rule[p]]
+            msg[i] = (
+                f"{col} should be between {lo} and {hi}."
+                f" Found {cols[col][p]} at index {p - offsets[i]}."
+            )
+    return pd.DataFrame({"mukey": mukey, "is_valid": msg == "", "message": msg})
 
 
 def validate_sit_batch(batch: pd.DataFrame) -> pd.DataFrame:

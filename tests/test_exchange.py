@@ -169,3 +169,45 @@ def test_scatter_accepts_pandas_blocks_and_arrow_kernels(ray_session):
         .sort_values("k").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+def test_group_map_bucket_guardrail_splits_hot_bucket(ray_session):
+    # pathological histogram: n_buckets=1 concentrates 100% of rows in one
+    # bucket; the guardrail must split the reduce into key-respecting
+    # sub-tasks without changing the aggregation
+    df = _df(6000, seed=3)
+    ds = rd.from_pandas(df).repartition(5)
+    parts = exchange.scatter(ds, 1, exchange.key_cols_bucket_fn(["k"], 1))
+    assert parts.bucket_rows.tolist() == [6000]
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    out = exchange.group_map(
+        parts, agg, empty,
+        rebucket=lambda nb: exchange.key_cols_bucket_fn(["k"], nb, salt=99),
+        max_bucket_rows=500,
+    )
+    # the split produced several reduce outputs (blocks), not one
+    assert out.materialize().num_blocks() > 1
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucketed_group_agg_guardrail_end_to_end(ray_session):
+    from geo_epic_ray.stages.aggregates import bucketed_group_agg
+
+    df = _df(4000, seed=7)
+    ds = rd.from_pandas(df).repartition(4)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    got = (
+        bucketed_group_agg(ds, ["k"], agg, n_buckets=1, max_bucket_rows=300)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
