@@ -142,8 +142,9 @@ def run_flagship(
     cells_only = docs.map_batches(
         derive_points, batch_format="pyarrow", fn_kwargs={"skew": skew, "seed": seed}
     ).map_batches(encode_cells, batch_format="pyarrow")
-    salt_plan = plan_salts(
-        cells_only, target_rows=target_rows, sample_fraction=salt_sample_fraction
+    salt_plan, est_rows = plan_salts(
+        cells_only, target_rows=target_rows, sample_fraction=salt_sample_fraction,
+        return_total=True,
     )
 
     enriched = flagship_enrich(docs, skew=skew, seed=seed, concurrency=concurrency)
@@ -156,6 +157,14 @@ def run_flagship(
         k: r for k, r in manifest.completed().items()
         if r.input_fingerprint == input_fingerprint
     }
+
+    # disk-space preflight (reference utils/misc.py:137-162), free from the
+    # salt-planning pass's total: fail before the expensive enrich+shuffle
+    # starts. Skipped partitions are at most the whole estimate — still a
+    # safe (over-)estimate on resume.
+    from ..state.preflight import check_disk_space
+
+    check_disk_space(out_dir, est_rows * 512)
 
     def drop_done(batch: pa.Table, *, finished: frozenset) -> pa.Table:
         if not finished:
@@ -242,6 +251,13 @@ def run_flagship_fragments(
     }
     shard_of = {f: f"shard-{os.path.basename(f)}" for f in files}
     pending = [f for f in files if shard_of[f] not in done]
+
+    # disk-space preflight (reference utils/misc.py:137-162): fail BEFORE
+    # any fragment is written; committed shards don't count toward the
+    # estimate, so a resume only needs room for the work it will redo
+    from ..state.preflight import check_disk_space, estimate_write_bytes
+
+    check_disk_space(out_dir, estimate_write_bytes(pending))
 
     # Shards committed under a DIFFERENT input fingerprint are about to be
     # recomputed (they sit in `pending`): clear their manifest row FIRST

@@ -784,6 +784,98 @@ FROM smo s LEFT JOIN nsea USING (user_id)
 """
 
 
+def profile_lai_sql(cdl_mod: int = 3, cdl_code: int = 1) -> str:
+    """queries_ext4.profile_lai: the reference's LAI-profile orchestration
+    (geoEpic/utils/profile.py:306-393 profile_lai_from_csv ->
+    process_ndvi_data) replayed end to end: per-field daily mean series,
+    daily reindex + rolling-median outlier removal + linear interpolation
+    (profile.py:12-76, pandas semantics: windows containing a hole yield
+    no median -> no outlier flag; leading NaNs stay NaN, trailing NaNs
+    forward-fill — verified against pandas), the >0 filter, and the
+    per-Month_Day p10/p90/mean distribution (process_ndvi_data uses
+    percentile 10/90 despite its 5th/95th labels — bug-parity kept).
+    Single-level lambdas only (the list_filter sits in a plain SELECT,
+    never inside another lambda — the DuckDB nesting trap)."""
+    return f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v
+  FROM events WHERE user_id % {cdl_mod} = {cdl_code}
+  GROUP BY user_id, date_trunc('day', ts)
+),
+bounds AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, d0,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+  FROM bounds
+),
+ser AS (
+  SELECT g.user_id, datediff('day', g.d0, g.d) + 1 AS i, g.d, daily.v
+  FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+),
+arr AS (
+  SELECT user_id, count(*) AS n, list(v ORDER BY i) AS ys,
+         stddev_samp(v) * 2 AS cutoff
+  FROM ser GROUP BY user_id
+),
+win AS (
+  SELECT user_id, n, ys, cutoff,
+         CASE WHEN n <= 21 THEN 3
+              ELSE greatest(3, CASE WHEN (n // 7) % 2 = 0
+                                    THEN n // 7 + 1 ELSE n // 7 END)
+         END AS w
+  FROM arr
+),
+pos AS (
+  SELECT user_id, n, ys, cutoff, w, (w - 1) // 2 AS k,
+         CAST(unnest(range(1, n + 1)) AS BIGINT) AS i
+  FROM win
+),
+med AS (
+  SELECT user_id, i, ys[i] AS v,
+         CASE WHEN i > k AND i <= n - k
+               AND len(list_filter(ys[i - k : i + k],
+                                   x -> x IS NOT NULL)) = w
+              THEN list_aggregate(ys[i - k : i + k], 'median') END AS m,
+         cutoff
+  FROM pos
+),
+cleaned AS (
+  SELECT user_id, i,
+         CASE WHEN COALESCE(abs(v - m) > cutoff, false) THEN NULL ELSE v END
+           AS v2
+  FROM med
+),
+itp AS (
+  SELECT user_id, i, v2,
+         last_value(v2 IGNORE NULLS) OVER w1 AS pv,
+         last_value(CASE WHEN v2 IS NOT NULL THEN i END IGNORE NULLS)
+           OVER w1 AS pi,
+         first_value(v2 IGNORE NULLS) OVER w2 AS nv,
+         first_value(CASE WHEN v2 IS NOT NULL THEN i END IGNORE NULLS)
+           OVER w2 AS ni
+  FROM cleaned
+  WINDOW w1 AS (PARTITION BY user_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+  SELECT t.user_id, b.d0 + (t.i - 1) * INTERVAL 1 DAY AS d,
+         CASE WHEN t.v2 IS NOT NULL THEN t.v2
+              WHEN t.pv IS NULL THEN NULL
+              WHEN t.nv IS NULL THEN t.pv
+              ELSE t.pv + (t.i - t.pi) * (t.nv - t.pv) / (t.ni - t.pi)
+         END AS lai
+  FROM itp t JOIN bounds b USING (user_id)
+)
+SELECT strftime(d, '%m-%d') AS month_day,
+       round_even(quantile_cont(lai, 0.10), 6) AS min_lai,
+       round_even(quantile_cont(lai, 0.90), 6) AS max_lai,
+       round_even(avg(lai), 6) AS mean_lai
+FROM filled WHERE lai > 0 GROUP BY 1
+"""
+
+
 def simulation_fleet_sql(knn_cte: str, mukey_expr: str) -> str:
     """queries_ext.simulation_fleet: per-doc pseudo-EPIC yields — the
     same replay as rasterize_yield_tiles_sql without the tile collapse.

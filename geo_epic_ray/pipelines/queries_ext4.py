@@ -1199,3 +1199,71 @@ def multimodal_audio_stats(sf_dir: str):
         ["media_ref", "n_samples", "sample_rate", "channels",
          "duration_s", "rms"]
     )
+
+
+# --- LAI profile end to end (reference utils/profile.py:306-393) -------------
+
+
+def _profile_lai_sql() -> str:
+    from . import oracle_sql
+
+    return oracle_sql.profile_lai_sql()
+
+
+@register("profile_lai", _profile_lai_sql())
+def profile_lai(sf_dir: str):
+    """The reference's LAI-profile orchestration composed from the
+    profile_ops kernels (geoEpic/utils/profile.py:306-393
+    profile_lai_from_csv minus the matplotlib figure): per-field daily
+    series -> crop gate (the cdl_code equality filter, replayed as
+    user_id % 3 = 1 on this fixture) -> outlier clean + interpolate
+    (profile.py:12-76) -> >0 filter -> per-Month_Day p10/p90/mean
+    distribution (process_ndvi_data, which uses percentile 10/90 despite
+    its 5th/95th labels — bug parity kept). Per-field work runs as
+    map_groups (each field's series is small by construction); the final
+    366-group distribution is a bucketed aggregation."""
+    from ..stages.aggregates import bucketed_group_agg
+    from ..stages.profile_ops import remove_outliers_and_interpolate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def crop_gate(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b.user_id % 3 == 1]
+
+    def field_series(g: pd.DataFrame) -> pd.DataFrame:
+        daily = (
+            g.assign(Date=g.ts.dt.floor("D"))
+            .groupby("Date", as_index=False)["value"].mean()
+            .rename(columns={"value": "lai"})
+        )
+        clean = remove_outliers_and_interpolate(daily, "lai", method="median")
+        clean = clean[clean.lai > 0]
+        return pd.DataFrame(
+            {"month_day": clean.Date.dt.strftime("%m-%d"), "lai": clean.lai}
+        )
+
+    per_field = (
+        ds.map_batches(crop_gate, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(field_series, batch_format="pandas")
+    )
+
+    def dist(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for md, s in df.groupby("month_day")["lai"]:
+            rows.append(
+                (md, round(float(np.percentile(s, 10)), 6),
+                 round(float(np.percentile(s, 90)), 6),
+                 round(float(s.mean()), 6))
+            )
+        return pd.DataFrame(
+            rows, columns=["month_day", "min_lai", "max_lai", "mean_lai"]
+        )
+
+    empty = pd.DataFrame(
+        {"month_day": pd.Series([], dtype=str),
+         "min_lai": pd.Series([], dtype=np.float64),
+         "max_lai": pd.Series([], dtype=np.float64),
+         "mean_lai": pd.Series([], dtype=np.float64)}
+    )
+    return bucketed_group_agg(per_field, ["month_day"], dist, n_buckets=8, empty=empty)

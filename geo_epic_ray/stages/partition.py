@@ -27,11 +27,14 @@ def plan_salts(
     *,
     target_rows: int = 500_000,
     sample_fraction: float | None = None,
-) -> dict[int, int]:
+    return_total: bool = False,
+) -> "dict[int, int] | tuple[dict[int, int], int]":
     """Measure per-prefix counts -> {cell_prefix: n_salts (>1 only)}.
 
     ``sample_fraction`` counts on a random sample and scales up — at 100 TB
     the plan costs one cheap pass over a 1% sample, not a full count.
+    ``return_total`` also returns the (scaled) total row estimate — free
+    from the same pass; the write preflight uses it.
     """
     scale = 1.0
     if sample_fraction is not None and sample_fraction < 1.0:
@@ -43,6 +46,8 @@ def plan_salts(
         est = n * scale
         if est > target_rows:
             plan[int(prefix)] = int(math.ceil(est / target_rows))
+    if return_total:
+        return plan, int(counts["count()"].sum() * scale)
     return plan
 
 

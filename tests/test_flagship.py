@@ -314,3 +314,43 @@ def test_fragment_mode_fingerprint_change_recomputes_without_duplicates(
     assert t.num_rows == 2000  # old fpA fragments are gone, no duplicates
     done = Manifest(out).completed()
     assert all(rec.input_fingerprint == "fpB" for rec in done.values())
+
+
+def test_disk_preflight_raises_on_impossible_estimate(tmp_path):
+    import shutil as _sh
+
+    from geo_epic_ray.state.preflight import (InsufficientDiskSpace,
+                                              check_disk_space)
+
+    free = _sh.disk_usage(str(tmp_path)).free
+    check_disk_space(str(tmp_path), free // 4)  # plenty of room: no raise
+    try:
+        check_disk_space(str(tmp_path), free * 2)
+    except InsufficientDiskSpace as e:
+        assert "Insufficient disk space" in str(e)
+    else:
+        raise AssertionError("impossible estimate did not raise")
+
+
+def test_fragment_writer_preflights_before_writing(ray_session, tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+
+    from geo_epic_ray.pipelines.flagship import run_flagship_fragments
+    from geo_epic_ray.state import preflight
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(documents_batch(np.arange(50, dtype=np.int64)),
+                   str(src / "a.parquet"))
+    out = tmp_path / "out"
+    out.mkdir()
+    monkeypatch.setattr(preflight, "estimate_write_bytes",
+                        lambda files, expansion=3.0: 1 << 62)
+    try:
+        run_flagship_fragments(str(src), str(out), input_fingerprint="pf")
+    except preflight.InsufficientDiskSpace:
+        pass
+    else:
+        raise AssertionError("preflight did not gate the write")
+    # nothing was written before the preflight fired
+    assert not list(out.glob("part=*"))
