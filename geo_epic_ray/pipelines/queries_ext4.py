@@ -1267,3 +1267,88 @@ def profile_lai(sf_dir: str):
          "mean_lai": pd.Series([], dtype=np.float64)}
     )
     return bucketed_group_agg(per_field, ["month_day"], dist, n_buckets=8, empty=empty)
+
+
+# --- REAL video frame-sampling with a bit-exact oracle ------------------------
+
+
+def _video_framesample_sql(
+    n_refs: int = 150, seed: int = 42, every_n: int = 2, fps: int = 10
+) -> str:
+    """Pixel replay of synth_video_table -> decode_avi -> every-Nth frame:
+    the draws are splitmix integers (dims from streams 101-103, pixel at
+    frame-major flat index q is hash_u64(q + i*100003, seed, 104) % 256),
+    and frame sampling is pure index math — so the SQL verifies the AVI
+    codec round trip with a position-weighted checksum over the SAMPLED
+    bytes, the video analogue of the image/audio codec oracles."""
+    from . import oracle_sql as osql
+
+    h_n, c_n = osql.hash_u64_cols("i", seed, 101, "vn")
+    h_h, c_h = osql.hash_u64_cols("i", seed, 102, "vh")
+    h_w, c_w = osql.hash_u64_cols("i", seed, 103, "vw")
+    h_v, c_v = osql.hash_u64_cols("(q + i * 100003)", seed, 104, "vv")
+    return f"""
+WITH refs AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_refs})),
+dims AS (SELECT i, {h_n}, {h_h}, {h_w},
+                4 + CAST({c_n} % 6 AS BIGINT) AS nf,
+                4 + CAST({c_h} % 4 AS BIGINT) AS h,
+                4 + CAST({c_w} % 4 AS BIGINT) AS w
+         FROM refs),
+sf AS (SELECT i, nf, h, w,
+              CAST(unnest(range(0, nf, {every_n})) AS BIGINT) AS f,
+              CAST((nf + {every_n} - 1) // {every_n} AS BIGINT) AS ns
+       FROM dims),
+byt AS (SELECT i, nf, h, w, ns, f,
+               (f // {every_n}) * (h * w * 3)
+                 + CAST(unnest(range(h * w * 3)) AS BIGINT) AS r,
+               f * (h * w * 3) + CAST(unnest(range(h * w * 3)) AS BIGINT) AS q
+        FROM sf),
+val AS (SELECT i, nf, h, w, ns, r, {h_v},
+               CAST({c_v} % 256 AS BIGINT) AS v
+        FROM byt),
+agg AS (SELECT i, any_value(nf) AS nf, any_value(h) AS h, any_value(w) AS w,
+               any_value(ns) AS ns, sum((r + 1) * v) AS cks
+        FROM val GROUP BY i)
+SELECT 'vid-' || lpad(CAST(i AS VARCHAR), 5, '0') AS media_ref,
+       nf AS n_frames, ns AS n_frames_sampled, h AS height, w AS width,
+       {fps} AS fps, CAST(cks AS BIGINT) AS checksum
+FROM agg
+"""
+
+
+@register("multimodal_video_framesample", _video_framesample_sql())
+def multimodal_video_framesample(sf_dir: str):
+    """Video frame-sampling, REAL end to end: deterministic uncompressed
+    AVI payloads (stages/codecs.encode_avi, raw-DIB frames) -> actor-pool
+    FrameSample (pure-stdlib RIFF walker + DIB decode) -> every-2nd-frame
+    RGB bytes. The DuckDB oracle regenerates the sampled pixel stream
+    analytically, so the hash compare verifies the codec round trip and
+    the sampling index math — FrameSample's fake contract is retired."""
+    from ..stages.multimodal import FrameSample, synth_video_table
+
+    refs = [f"vid-{i:05d}" for i in range(150)]
+    ds = rd.from_arrow(synth_video_table(refs)).repartition(4)
+    out = ds.map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=32, concurrency=2,
+        fn_constructor_kwargs={"every_n": 2, "fake": False},
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        cks = [
+            int(np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                @ np.arange(1, len(p) + 1, dtype=np.int64))
+            for p in b.sampled_frames
+        ]
+        return pd.DataFrame(
+            {
+                "media_ref": b.media_ref,
+                "n_frames": b.n_frames.astype(np.int64),
+                "n_frames_sampled": b.n_frames_sampled.astype(np.int64),
+                "height": b.height.astype(np.int64),
+                "width": b.width.astype(np.int64),
+                "fps": b.fps.astype(np.int64),
+                "checksum": cks,
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")

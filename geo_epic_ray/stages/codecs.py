@@ -203,6 +203,113 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Byte-valid uncompressed AVI (RIFF 'AVI '): one video stream,
+    24-bit BI_RGB DIB frames ('00db' chunks, bottom-up BGR rows with
+    4-byte padding — the same pixel layout decode_bmp handles), plus the
+    standard idx1 index. ``frames``: (n, h, w, 3) uint8 RGB."""
+    x = np.asarray(frames)
+    if x.ndim != 4 or x.shape[3] != 3 or x.dtype != np.uint8:
+        raise ValueError("encode_avi expects (n, h, w, 3) uint8")
+    n, h, w, _ = x.shape
+    row_len = (w * 3 + 3) & ~3
+    rows = np.zeros((n, h, row_len), dtype=np.uint8)
+    rows[:, :, : w * 3] = x[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    frame_bytes = rows.reshape(n, -1)
+    fsize = h * row_len
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(payload) + 4) + kind + payload
+
+    def chk(kind: bytes, payload: bytes) -> bytes:
+        out = kind + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) & 1 else b"")
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, fsize * fps, 0, 0x10, n, 0, 1, fsize, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, fsize, -1, fsize,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chk(b"avih", avih) + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)),
+    )
+    movi_payload = b""
+    offsets = []
+    for f in range(n):
+        offsets.append(len(movi_payload) + 4)  # offset from 'movi' fourcc
+        movi_payload += chk(b"00db", frame_bytes[f].tobytes())
+    movi = lst(b"movi", movi_payload)
+    idx1 = b"".join(
+        b"00db" + struct.pack("<III", 0x10, off, fsize) for off in offsets
+    )
+    body = b"AVI " + hdrl + movi + chk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(buf: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed 24-bit AVI bytes -> ((n, h, w, 3) uint8 RGB, fps).
+    Raw-DIB '00db'/'00dc' frames only; compressed streams raise
+    NotImplementedError loudly (no video libraries in-sandbox)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    w = h = None
+    rate = scale = None
+    bpp = compression = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, rate, scale, bpp, compression
+        while pos + 8 <= end:
+            kind = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            if kind == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif kind == b"strh":
+                fcc = buf[body_start : body_start + 4]
+                if fcc == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", buf[body_start + 20 : body_start + 28]
+                    )
+            elif kind == b"strf":
+                hdr = struct.unpack("<IiiHHI", buf[body_start : body_start + 20])
+                w, h, bpp, compression = hdr[1], abs(hdr[2]), hdr[4], hdr[5]
+            elif kind[2:4] == b"db" or kind[2:4] == b"dc":
+                frames.append(buf[body_start : body_start + size])
+                if kind[2:4] == b"dc" and compression not in (0, None):
+                    raise NotImplementedError(
+                        f"compressed AVI stream (biCompression={compression})"
+                    )
+            pos = body_start + size + (size & 1)
+
+    walk(12, 12 + struct.unpack("<I", buf[4:8])[0] - 4)
+    if w is None or bpp is None:
+        raise NotImplementedError("AVI missing strf header")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit AVI (bpp={bpp}, compression={compression})"
+        )
+    if not rate or not scale:
+        raise NotImplementedError("AVI missing vids strh rate/scale")
+    row_len = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for f, data in enumerate(frames):
+        if len(data) != h * row_len:
+            raise NotImplementedError(
+                f"frame {f}: {len(data)} bytes != expected DIB size {h * row_len}"
+            )
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(h, row_len)
+        out[f] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return out, int(round(rate / scale))
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """(samples (n, ch) int16, rate). PCM 16-bit only — asserted loudly."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":

@@ -6,11 +6,12 @@ stages are actor-pool ``map_batches`` classes with the production
 signature (expensive codec init in ``__init__``, batched work in
 ``__call__``, small ``batch_size`` because rows are wide).
 
-IMAGE decode is REAL for PNG (8-bit RGB/RGBA, zlib) and 24-bit BMP —
-pure-stdlib codecs in stages/codecs.py, pixel-exact tests — and
-``fake=True`` remains as the fast deterministic stand-in for plumbing
-tests. AUDIO/VIDEO codecs are genuinely unavailable in this container,
-so FrameSample keeps the NotImplementedError-or-fake contract.
+ALL THREE modalities decode for REAL through the pure-stdlib codecs in
+stages/codecs.py: PNG (8-bit RGB/RGBA, zlib) + 24-bit BMP images,
+RIFF/PCM WAV audio, and uncompressed 24-bit AVI video (raw-DIB '00db'
+frames). ``fake=True`` remains on each stage as the fast deterministic
+stand-in for plumbing tests; unsupported/compressed payloads raise
+NotImplementedError loudly.
 """
 
 from __future__ import annotations
@@ -234,32 +235,87 @@ class ImageResize:
         )
 
 
+def synth_video_table(refs: list[str], seed: int = 42, fps: int = 10) -> pa.Table:
+    """REAL encoded uncompressed-AVI payloads (raw-DIB frames,
+    deterministic splitmix pixels) for the real video-decode path. Video
+    i: n_frames = 4 + draw(101)%6, h = 4 + draw(102)%4, w = 4 + draw(103)%4,
+    pixel at flat index q (frame-major RGB) = hash_u64(q + i*100003, seed,
+    104) % 256 — pure integer math, SQL-replayable like the image/audio
+    fixtures."""
+    from .codecs import encode_avi
+
+    payloads = []
+    for i, _ in enumerate(refs):
+        nf = 4 + int(hash_u64(np.array([i]), seed, 101)[0] % np.uint64(6))
+        h = 4 + int(hash_u64(np.array([i]), seed, 102)[0] % np.uint64(4))
+        w = 4 + int(hash_u64(np.array([i]), seed, 103)[0] % np.uint64(4))
+        pix = (
+            (hash_u64(np.arange(nf * h * w * 3) + i * 100003, seed, 104) % 256)
+            .astype(np.uint8)
+            .reshape(nf, h, w, 3)
+        )
+        payloads.append(encode_avi(pix, fps=fps))
+    return pa.table(
+        {
+            "media_ref": pa.array(list(refs), pa.string()),
+            "media_kind": pa.array(["video"] * len(refs), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
 class FrameSample:
-    """video binary -> every Nth frame's byte-slice (layout-only stand-in:
-    real decoders are unavailable; the slicing/batching contract is what
-    downstream stages depend on)."""
+    """video binary -> every Nth frame, REAL: the pure-stdlib
+    uncompressed-AVI codec (stages/codecs.py, frame-exact round-trip
+    tests) decodes each payload in the actor pool and the sampled frames'
+    RGB bytes are emitted with (n_frames, height, width, fps). Compressed
+    streams raise NotImplementedError loudly. ``fake=True`` keeps the
+    codec-free byte-slicing stand-in for plumbing tests."""
 
     def __init__(self, every_n: int = 4, frame_bytes: int = 16, fake: bool = False):
+        from .codecs import decode_avi
+
+        self._decode = decode_avi
         self.every_n = every_n
         self.frame_bytes = frame_bytes
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video codecs are unavailable; construct with fake=True"
-            )
+        if self.fake:
+            frames = []
+            counts = []
+            for payload in batch["payload"].to_pylist():
+                fb = self.frame_bytes
+                n_frames = max(1, len(payload) // fb)
+                sel = list(range(0, n_frames, self.every_n))
+                frames.append(b"".join(payload[i * fb : (i + 1) * fb] for i in sel))
+                counts.append(len(sel))
+            return batch.append_column(
+                "sampled_frames", pa.array(frames, pa.binary())
+            ).append_column("n_frames_sampled", pa.array(counts, pa.int64()))
+        n = batch.num_rows
         frames = []
-        counts = []
-        for payload in batch["payload"].to_pylist():
-            fb = self.frame_bytes
-            n_frames = max(1, len(payload) // fb)
-            sel = list(range(0, n_frames, self.every_n))
-            frames.append(b"".join(payload[i * fb : (i + 1) * fb] for i in sel))
-            counts.append(len(sel))
-        return batch.append_column(
-            "sampled_frames", pa.array(frames, pa.binary())
-        ).append_column("n_frames_sampled", pa.array(counts, pa.int64()))
+        counts = np.empty(n, dtype=np.int64)
+        nf = np.empty(n, dtype=np.int64)
+        hh = np.empty(n, dtype=np.int64)
+        ww = np.empty(n, dtype=np.int64)
+        fps = np.empty(n, dtype=np.int64)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            vid, rate = self._decode(payload)
+            sel = vid[:: self.every_n]
+            frames.append(sel.tobytes())
+            counts[i] = sel.shape[0]
+            nf[i], hh[i], ww[i] = vid.shape[0], vid.shape[1], vid.shape[2]
+            fps[i] = rate
+        return (
+            batch.append_column("sampled_frames", pa.array(frames, pa.binary()))
+            .append_column("n_frames_sampled", pa.array(counts))
+            .append_column("n_frames", pa.array(nf))
+            .append_column("height", pa.array(hh))
+            .append_column("width", pa.array(ww))
+            .append_column("fps", pa.array(fps))
+        )
 
 
 def decode_pipeline(

@@ -509,3 +509,51 @@ def test_codec_roundtrips_property():
     wav_rt()
     bmp_rt()
     png_rt()
+
+
+def test_avi_codec_roundtrip():
+    from geo_epic_ray.stages.codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    for n, h, w, fps in [(1, 4, 4, 10), (6, 5, 7, 24), (3, 2, 9, 1)]:
+        f = rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8)
+        g, r = decode_avi(encode_avi(f, fps=fps))
+        assert r == fps and g.shape == f.shape
+        np.testing.assert_array_equal(g, f)
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_avi(b"not an avi")
+    with pytest.raises(NotImplementedError):
+        decode_avi(b"RIFF\x10\x00\x00\x00WAVEfmt ")  # RIFF but not AVI
+    # corrupt strf (compressed stream) raises the documented contract
+    good = bytearray(encode_avi(rng.integers(0, 256, (2, 4, 4, 3)).astype(np.uint8)))
+    pos = bytes(good).find(b"strf")
+    assert pos > 0
+    comp = bytearray(good)
+    comp[pos + 8 + 16 : pos + 8 + 20] = (1).to_bytes(4, "little")  # biCompression=1
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(comp))
+
+
+def test_frame_sample_real_decode(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.codecs import decode_avi
+    from geo_epic_ray.stages.multimodal import FrameSample, synth_video_table
+
+    refs = [f"v{i}" for i in range(8)]
+    tbl = synth_video_table(refs)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(FrameSample, batch_format="pyarrow", batch_size=4,
+                     concurrency=1, fn_constructor_kwargs={"every_n": 2, "fake": False})
+        .to_pandas()
+    )
+    for _, row in out.iterrows():
+        vid, fps = decode_avi(tbl["payload"][list(out.media_ref).index(row.media_ref)].as_py())
+        want = vid[::2]
+        assert row.n_frames == vid.shape[0]
+        assert row.n_frames_sampled == want.shape[0]
+        assert bytes(row.sampled_frames) == want.tobytes()
