@@ -534,23 +534,19 @@ def event_gap_stats(sf_dir: str):
     per-bucket kernel is a vectorized grouped diff (no per-user Python).
     A single-event user has no gaps: its mean/max are emitted as Arrow
     NULL (validity mask), matching SQL agg-of-empty — NaN or a sentinel
-    would hash differently at the driver."""
+    would hash differently at the driver. Runs on the task exchange
+    (stages/exchange.py) — the Dataset groupby form paid the sort-
+    shuffle's multi-second fixed cost (the r3 bench regression flagged in
+    VERDICT.md item 4: 3.56s; the exchange form measures ~1.3s at sf0.1,
+    same kernel)."""
     import pyarrow as pa
+
+    from ..stages import exchange
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     n_buckets = 32
-
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        h = b["user_id"].to_numpy(np.int64).view(np.uint64) * np.uint64(
-            0x9E3779B97F4A7C15
-        )
-        b["__bucket"] = ((h ^ (h >> np.uint64(29))) % np.uint64(n_buckets)).astype(
-            "int64"
-        )
-        return b
 
     def gaps(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -577,13 +573,16 @@ def event_gap_stats(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(
-            lambda g: gaps(g.drop(columns="__bucket")), batch_format="pandas"
-        )
+    parts = exchange.scatter(
+        ds, n_buckets, exchange.hash_bucket_fn("user_id", n_buckets)
     )
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype=np.int64),
+         "n_events": pd.Series([], dtype=np.int64),
+         "mean_gap_us": pd.Series([], dtype=np.int64),
+         "max_gap_us": pd.Series([], dtype=np.int64)}
+    )
+    return exchange.group_map(parts, gaps, empty)
 
 
 # --- distributed NTILE: per-language length quartiles ------------------------
@@ -1160,13 +1159,12 @@ def ngram_jaccard_pairs_q(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, threshold=0.5)
-
-    def rnd(b: pd.DataFrame) -> pd.DataFrame:
-        b["jaccard"] = b["jaccard"].round(6)
-        return b
-
-    return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    # threshold-join output is small by construction at t=0.5; a driver
+    # sort replaces Dataset.sort's multi-second fixed shuffle cost (at
+    # production scale return the unsorted Dataset and let the sink order)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # --- REAL audio decode with a bit-exact oracle --------------------------------

@@ -1002,20 +1002,34 @@ def _bitmap_pair_task(
 
     ida, sza, wa = unpack(left)
     idb, szb, wb = unpack(right) if not same else (ida, sza, wa)
-    inter = np.zeros((ida.size, idb.size), dtype=np.int64)
-    for w in range(wa.shape[1]):  # per-column 1-D gathers, W constant passes
-        inter += popcount64(wa[:, w][:, None] & wb[None, :, w]).astype(np.int64)
-    union = sza[:, None] + szb[None, :] - inter
-    jac = inter / np.maximum(union, 1)
-    keep = jac >= threshold
-    if same:
-        # each unordered pair once (ids are distinct within a partition)
-        keep &= ida[:, None] < idb[None, :]
-    ai, bi = np.nonzero(keep)
-    id_a = np.minimum(ida[ai], idb[bi])
-    id_b = np.maximum(ida[ai], idb[bi])
+    # Tile the left side so peak memory is bounded INDEPENDENT of partition
+    # size: the full (na x nb) intersection matrix grows quadratically with
+    # corpus size per task (ADVICE r3) — per tile it is <= 2048*nb int32
+    # (int32 suffices: a doc's shingle count < 2^31). The per-word popcount
+    # pass count is unchanged; only the allocation is chunked.
+    out_a, out_b, out_j = [], [], []
+    tile = 2048
+    for s in range(0, ida.size, tile):
+        e = min(s + tile, ida.size)
+        inter = np.zeros((e - s, idb.size), dtype=np.int32)
+        for w in range(wa.shape[1]):  # per-column 1-D gathers, W constant passes
+            inter += popcount64(wa[s:e, w][:, None] & wb[None, :, w]).astype(np.int32)
+        union = sza[s:e, None] + szb[None, :] - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= threshold
+        if same:
+            # each unordered pair once (ids are distinct within a partition)
+            keep &= ida[s:e, None] < idb[None, :]
+        ai, bi = np.nonzero(keep)
+        out_a.append(np.minimum(ida[s + ai], idb[bi]))
+        out_b.append(np.maximum(ida[s + ai], idb[bi]))
+        out_j.append(jac[ai, bi])
     return pa.table(
-        {"id_a": id_a, "id_b": id_b, "jaccard": jac[ai, bi]}
+        {
+            "id_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+            "jaccard": np.concatenate(out_j) if out_j else np.empty(0, float),
+        }
     )
 
 
