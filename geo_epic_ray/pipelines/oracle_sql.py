@@ -1199,6 +1199,112 @@ good AS (SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f)
 """
 
 
+def grouped_tdigest_replay_sql(
+    table: str = "events",
+    grp: str = "event_type",
+    col: str = "value",
+    key_col: str = "event_id",
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9),
+    delta: int = 100,
+    n_buckets: int = 8,
+) -> str:
+    """Per-group generalization of tdigest_replay_sql, matching
+    stages/sketches.grouped_binned_tdigest_quantiles bit-exactly: every
+    window/partition gains the group column, the per-group merge keeps
+    the fixed (m, bkt, bin) order, and the quantile read-out joins the
+    unique (lo, hi) straddle row per (group, q) — cmid is strictly
+    increasing within a group, so no LIMIT is needed. Also emits the
+    exact quantile_cont per group and the absolute error, mirroring the
+    gate query's columns."""
+
+    def k1_bin(q_expr: str) -> str:
+        return (
+            f"CAST(floor({delta} * (asin(2 * ({q_expr}) - 1) / pi() + 0.5))"
+            " AS BIGINT)"
+        )
+
+    pcols = [f"p{round(q * 100):02d}" for q in qs]
+    ecols = [f"e{round(q * 100):02d}" for q in qs]
+    pivot_p = ", ".join(
+        f"max(CASE WHEN q = {q!r} THEN v END) AS {pc}_raw"
+        for q, pc in zip(qs, pcols)
+    )
+    exact = ", ".join(
+        f"quantile_cont({col}, {q!r}) AS {ec}_raw" for q, ec in zip(qs, ecols)
+    )
+    out_cols = ", ".join(
+        f"round_even({pc}_raw, 4) AS {pc}, round_even({ec}_raw, 4) AS {ec},"
+        f" round_even(abs({pc}_raw - {ec}_raw), 4) AS err_{pc}"
+        for pc, ec in zip(pcols, ecols)
+    )
+    qlist = ", ".join(repr(q) for q in qs)
+    return f"""
+WITH ranked AS (
+  SELECT {grp} AS grp, {key_col} % {n_buckets} AS bkt, {col} AS value,
+         row_number() OVER (PARTITION BY {grp}, {key_col} % {n_buckets}
+                            ORDER BY {col}) AS r,
+         count(*) OVER (PARTITION BY {grp}, {key_col} % {n_buckets}) AS n
+  FROM {table}
+),
+cent AS (
+  SELECT grp, bkt, {k1_bin("(r - 0.5) / n")} AS bin,
+         list_sum(list(value ORDER BY value)) / count(*) AS m,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM ranked GROUP BY 1, 2, 3
+),
+run AS (
+  SELECT grp, m, w, bkt, bin,
+         sum(w) OVER (PARTITION BY grp ORDER BY m, bkt, bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY grp) AS total
+  FROM cent
+),
+cent2 AS (
+  SELECT grp, {k1_bin("(cum - w / 2) / total")} AS bin2,
+         list_sum(list(m * w ORDER BY m, bkt, bin)) / sum(w) AS m2,
+         sum(w) AS w2, any_value(total) AS total
+  FROM run GROUP BY 1, 2
+),
+final AS (
+  SELECT grp, m2, total,
+         sum(w2) OVER (PARTITION BY grp ORDER BY bin2
+                       ROWS UNBOUNDED PRECEDING) - w2 / 2 AS cmid,
+         row_number() OVER (PARTITION BY grp ORDER BY bin2) AS rn,
+         count(*) OVER (PARTITION BY grp) AS nc
+  FROM cent2
+),
+qv AS (SELECT unnest([{qlist}]) AS q),
+bnd AS (SELECT grp, min(cmid) AS mn, max(cmid) AS mx,
+               any_value(total) AS total
+        FROM final GROUP BY 1),
+firsts AS (SELECT grp, m2 AS m_first FROM final WHERE rn = 1),
+lasts AS (SELECT grp, m2 AS m_last FROM final WHERE rn = nc),
+itp AS (
+  SELECT lo.grp, q.q,
+         lo.m2 + (hi.m2 - lo.m2) / (hi.cmid - lo.cmid)
+           * (q.q * lo.total - lo.cmid) AS v
+  FROM final lo
+  JOIN final hi ON hi.grp = lo.grp AND hi.rn = lo.rn + 1
+  CROSS JOIN qv q
+  WHERE lo.cmid <= q.q * lo.total AND hi.cmid > q.q * lo.total
+),
+est AS (
+  SELECT b.grp, q.q,
+         CASE WHEN b.mn >= q.q * b.total THEN f.m_first
+              WHEN b.mx <= q.q * b.total THEN l.m_last
+              ELSE i.v END AS v
+  FROM bnd b CROSS JOIN qv q
+  JOIN firsts f ON f.grp = b.grp
+  JOIN lasts l ON l.grp = b.grp
+  LEFT JOIN itp i ON i.grp = b.grp AND i.q = q.q
+),
+ep AS (SELECT grp, {pivot_p} FROM est GROUP BY 1),
+ex AS (SELECT {grp} AS grp, {exact} FROM {table} GROUP BY 1)
+SELECT ep.grp AS {grp}, {out_cols}
+FROM ep JOIN ex USING (grp)
+"""
+
+
 def tdigest_replay_sql(
     table: str = "events",
     col: str = "value",

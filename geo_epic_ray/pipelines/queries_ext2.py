@@ -511,22 +511,32 @@ def cms_token_counts(sf_dir: str):
 # --- grouped approximate quantiles (sketch, rows-only) -----------------------
 
 
-@register("grouped_quantiles_tdigest")
+def _grouped_tdigest_sql() -> str:
+    from . import oracle_sql
+
+    return oracle_sql.grouped_tdigest_replay_sql()
+
+
+@register("grouped_quantiles_tdigest", _grouped_tdigest_sql())
 def grouped_quantiles_tdigest(sf_dir: str):
     """A2 percentile profile at scale: per-key t-digests (mergeable, a few
     hundred centroids per key regardless of group size) vs the exact
     per-group quantiles — reported side by side with the absolute error.
-    Exactness of the digest is bounded by rank error, not value error, so
-    the gate checks rows-only; accuracy is locked in tests."""
+    Uses the DETERMINISTIC binned construction (the keyed variant of
+    binned_tdigest_quantiles), so the DuckDB oracle replays the digest
+    itself bit-exactly — estimate, exact, and error all hash-checked;
+    the classic greedy digest (block-boundary-dependent, not replayable)
+    remains in stages/sketches.py with rank-error pytest coverage."""
     from ..stages.aggregates import bucketed_group_agg
-    from ..stages.sketches import grouped_tdigest_quantiles
+    from ..stages.sketches import grouped_binned_tdigest_quantiles
 
     # ds feeds both the digest pass and the exact pass — pin once
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     ).materialize()
-    est = grouped_tdigest_quantiles(
-        ds, "event_type", "value", [0.1, 0.5, 0.9], n_buckets=8
+    est = grouped_binned_tdigest_quantiles(
+        ds, "event_type", "value", "event_id", [0.1, 0.5, 0.9],
+        delta=100, n_buckets=8,
     ).to_pandas()  # 5 keys
 
     def exact_agg(df: pd.DataFrame) -> pd.DataFrame:

@@ -308,6 +308,72 @@ def binned_tdigest_quantiles(
     return merge_binned_centroids(cent, qs, delta)
 
 
+def grouped_binned_tdigest_quantiles(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    key_col: str,
+    qs: list[float],
+    *,
+    delta: int = 100,
+    n_buckets: int = 8,
+    group_buckets: int = 8,
+) -> rd.Dataset:
+    """DETERMINISTIC grouped t-digest quantiles — the replayable grouped
+    variant (same construction as :func:`binned_tdigest_quantiles`, keyed):
+    rows route to (key, key_col % n_buckets) cells through the task
+    exchange, each cell compresses its value multiset with the k1 binning
+    (partition-independent), and a second tiny grouped pass merges each
+    key's <= n_buckets * delta centroids in the fixed (m, bkt, bin)
+    order. Replayed bit-exactly by oracle_sql.tdigest_replay_sql(grp_col=
+    key). Returns one row per key with p<q> columns."""
+    from .aggregates import bucketed_group_agg
+    from .exchange import group_map, key_cols_bucket_fn, scatter
+
+    def add_bkt(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {key: tbl.column(key), col: tbl.column(col), "bkt": k % n_buckets}
+        )
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for (k_, bkt), g in df.groupby([key, "bkt"]):
+            bins, means, weights = _binned_centroids(g[col].to_numpy(), delta)
+            frames.append(
+                pd.DataFrame({key: k_, "bkt": int(bkt), "bin": bins,
+                              "m": means, "w": weights})
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {key: [], "bkt": [], "bin": [], "m": [], "w": []}
+        )
+
+    parts = scatter(
+        ds.map_batches(add_bkt, batch_format="pyarrow"),
+        group_buckets * n_buckets,
+        key_cols_bucket_fn([key, "bkt"], group_buckets * n_buckets),
+    )
+    empty = pd.DataFrame(
+        {key: pd.Series([], dtype=object), "bkt": pd.Series([], dtype=np.int64),
+         "bin": pd.Series([], dtype=np.int64), "m": pd.Series([], dtype=np.float64),
+         "w": pd.Series([], dtype=np.float64)}
+    )
+    cent = group_map(parts, per_cell, empty)
+
+    def merge_key(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k_, g in df.groupby(key):
+            est = merge_binned_centroids(g, qs, delta)
+            row = {key: k_}
+            for q in qs:
+                row[f"p{round(q * 100):02d}"] = est[q]
+            rows.append(row)
+        cols = [key] + [f"p{round(q * 100):02d}" for q in qs]
+        return pd.DataFrame(rows, columns=cols)
+
+    return bucketed_group_agg(cent, [key], merge_key, n_buckets=group_buckets)
+
+
 class CountMinSketch:
     """Count-min frequency sketch (Cormode & Muthukrishnan '05): ``depth``
     rows x ``width`` counters; an item's estimate is the min over its
