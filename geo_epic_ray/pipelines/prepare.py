@@ -67,12 +67,18 @@ def write_sit_files(run_info: rd.Dataset, out_dir: str, id_col: str = "site_id")
     os.makedirs(out_dir, exist_ok=True)
 
     def write(b: pd.DataFrame) -> pd.DataFrame:
+        # one FILE per site is the output format (reference semantics), so
+        # per-site open/write is inherent — but the row access is plain
+        # array zips, not iterrows (which builds a Series per row)
         paths = []
-        for _, r in b.iterrows():
+        for sid, lat, lon, elev, steep in zip(
+            b[id_col].to_numpy(), b["lat"].to_numpy(), b["lon"].to_numpy(),
+            b["elevation"].to_numpy(), b["slope_steep"].to_numpy(),
+        ):
             info = {
-                "ID": str(r[id_col]), "lat": float(r["lat"]), "lon": float(r["lon"]),
-                "elevation": float(r["elevation"]),
-                "slope_length": 50.0, "slope_steep": float(r["slope_steep"]),
+                "ID": str(sid), "lat": float(lat), "lon": float(lon),
+                "elevation": float(elev),
+                "slope_length": 50.0, "slope_steep": float(steep),
             }
             path = os.path.join(out_dir, f"{info['ID']}.sit")
             if not os.path.exists(path):  # M3 existing-output skip
