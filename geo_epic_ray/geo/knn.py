@@ -230,3 +230,107 @@ class KnnIndex:
                 out_id[i, : order.size] = self.gid[order]
                 out_d[i, : order.size] = d_all[order]
         return out_id, out_d
+
+
+class LatticeKnn:
+    """Analytic exact 1-NN for a DENSE ROW-MAJOR LATTICE point set (ids
+    are exactly r * ncols + c, latitude depends only on the row and is
+    strictly increasing, longitude only on the column): the nearest
+    neighbor of any query lies among the 3x3 index-math candidates
+    around the (row, col) insertion point — the bracketing pair per axis
+    plus a one-row/col margin for haversine's cos(lat) weighting (the
+    same cover argument the geo_knn_weather SQL oracle uses, widened by
+    one). No candidate cache, no ring expansion: the generic KnnIndex
+    paid a per-worker warmup of one ring search per occupied query cell
+    (~7s per worker at res 8 on the 5.5k-point weather grid — measured
+    as the dominant flagship enrich cost), which this path removes
+    entirely. Distances use the TRUE stored coordinates, so detection
+    never relies on float reconstruction of the grid step.
+
+    Ties break to the lowest id exactly as KnnIndex: candidates are
+    enumerated in non-decreasing id order and argmax takes the first
+    occurrence."""
+
+    def __init__(self, gid, glat, glon, nrows: int, ncols: int):
+        self.gid = gid
+        self.glat = glat
+        self.glon = glon
+        self.nrows, self.ncols = nrows, ncols
+        self.row_lats = glat[::ncols].copy()
+        self.col_lons = glon[:ncols].copy()
+        self.gxyz = _unit_xyz(glat, glon)
+        self._generic: KnnIndex | None = None
+
+    def query(self, qlat: np.ndarray, qlon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        nq = qlat.shape[0]
+        if nq == 0:
+            return np.full(0, -1, dtype=np.int64), np.full(0, np.inf)
+        off = np.array([-1, 0, 1])
+        rr = np.clip(
+            np.searchsorted(self.row_lats, qlat)[:, None] + off[None, :],
+            0, self.nrows - 1,
+        )
+        cc = np.clip(
+            np.searchsorted(self.col_lons, qlon)[:, None] + off[None, :],
+            0, self.ncols - 1,
+        )
+        idx = (rr[:, :, None] * self.ncols + cc[:, None, :]).reshape(nq, 9)
+        qxyz = _unit_xyz(qlat, qlon)
+        dots = np.einsum("nd,nkd->nk", qxyz, self.gxyz[idx])
+        j = np.argmax(dots, axis=1)
+        rng = np.arange(nq)
+        best = idx[rng, j]
+        d = EARTH_RADIUS_KM * np.arccos(np.clip(dots[rng, j], -1.0, 1.0))
+        return self.gid[best], d
+
+    def query_k(self, qlat: np.ndarray, qlon: np.ndarray, k: int):
+        # k > 1 needs the ring-guarantee machinery — delegate (built lazily;
+        # the hot flagship path only ever calls query())
+        if self._generic is None:
+            self._generic = KnnIndex(self.gid, self.glat, self.glon, res=6)
+        return self._generic.query_k(qlat, qlon, k)
+
+
+def detect_lattice(gid, glat, glon) -> LatticeKnn | None:
+    """Structural lattice check with NO float reconstruction: ids are
+    0..n-1 in row-major order, glat constant within each row and strictly
+    increasing across rows, glon tiling a strictly increasing column
+    vector. Returns a LatticeKnn or None."""
+    gid = np.asarray(gid, dtype=np.int64)
+    glat = np.asarray(glat, dtype=np.float64)
+    glon = np.asarray(glon, dtype=np.float64)
+    n = gid.size
+    if n < 4 or not np.array_equal(gid, np.arange(n)):
+        return None
+    jumps = np.flatnonzero(glat != glat[0])
+    if jumps.size == 0:
+        return None
+    ncols = int(jumps[0])
+    if ncols < 2 or n % ncols:
+        return None
+    nrows = n // ncols
+    row_lats = glat[::ncols]
+    col_lons = glon[:ncols]
+    if not (
+        np.all(np.diff(row_lats) > 0)
+        and np.all(np.diff(col_lons) > 0)
+        and np.array_equal(glat, np.repeat(row_lats, ncols))
+        and np.array_equal(glon, np.tile(col_lons, nrows))
+    ):
+        return None
+    return LatticeKnn(gid, glat, glon, nrows, ncols)
+
+
+def build_knn_index(gid, glat, glon, res: int = 8):
+    """Index factory: the analytic lattice path when the reference set is
+    a dense row-major lattice (weather grids), else the generic
+    cell-bucketed index with its resolution CAPPED so the cell count
+    stays near the point count — finer cells only multiply the
+    per-worker candidate-cache warmup (one ring search per occupied
+    query cell) without shrinking candidate sets."""
+    lat = detect_lattice(gid, glat, glon)
+    if lat is not None:
+        return lat
+    n = max(2, np.asarray(gid).size)
+    res_cap = max(2, int(np.ceil(0.5 * np.log2(n))))
+    return KnnIndex(gid, glat, glon, res=min(res, res_cap))

@@ -94,8 +94,12 @@ class KnnJoin:
     lowest-id ties)."""
 
     def __init__(self, grid_ref, res: int = 8):
+        from ..geo.knn import build_knn_index
+
         g = get(grid_ref)
-        self.index = KnnIndex(
+        # factory: analytic LatticeKnn for dense regular grids (no
+        # per-worker candidate-cache warmup), generic KnnIndex otherwise
+        self.index = build_knn_index(
             g["grid_id"].to_numpy(), g["lat"].to_numpy(), g["lon"].to_numpy(), res=res
         )
 

@@ -157,3 +157,43 @@ def test_knn_query_k_exact():
     exp_id, exp_d = brute_force_knn(lat, lon, glat, glon, gid, k=4)
     np.testing.assert_array_equal(got_id, exp_id)
     np.testing.assert_allclose(got_d, exp_d, atol=1e-6)
+
+
+def test_lattice_knn_matches_generic_and_bruteforce():
+    from geo_epic_ray.fixtures.weather import weather_grid_table
+    from geo_epic_ray.geo import extent
+    from geo_epic_ray.geo.haversine import haversine_km
+    from geo_epic_ray.geo.knn import KnnIndex, build_knn_index, detect_lattice
+
+    g = weather_grid_table()
+    gid = g["grid_id"].to_numpy()
+    glat = g["lat"].to_numpy()
+    glon = g["lon"].to_numpy()
+    lat_idx = build_knn_index(gid, glat, glon)
+    assert type(lat_idx).__name__ == "LatticeKnn"  # fixture IS a lattice
+    gen = KnnIndex(gid, glat, glon, res=6)
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    qlat = rng.uniform(extent.LAT0 - 0.2, extent.LAT1 + 0.2, n)  # incl. out-of-extent
+    qlon = rng.uniform(extent.LON0 - 0.2, extent.LON1 + 0.2, n)
+    # exact grid points and row/col midpoints (tie cases)
+    qlat[:50], qlon[:50] = glat[:50], glon[:50]
+    qlat[50:100] = (glat[:50] + glat[100:150]) / 2
+    a_id, a_d = lat_idx.query(qlat, qlon)
+    b_id, b_d = gen.query(qlat, qlon)
+    np.testing.assert_array_equal(a_id, b_id)
+    np.testing.assert_allclose(a_d, b_d, rtol=0, atol=1e-9)
+    # spot brute force
+    for i in range(0, n, 251):
+        d_all = haversine_km(np.full(gid.size, qlat[i]), np.full(gid.size, qlon[i]), glat, glon)
+        want = gid[np.lexsort((gid, d_all))[0]]
+        assert a_id[i] == want, i
+
+    # non-lattice sets are rejected by detection
+    assert detect_lattice(gid[::2], glat[::2], glon[::2]) is None
+    jitter = glon.copy(); jitter[7] += 1e-9
+    assert detect_lattice(gid, glat, jitter) is None
+    # factory falls back to the generic index and stays exact
+    fb = build_knn_index(gid[:100], glat[:100], glon[:100])
+    assert type(fb).__name__ == "KnnIndex"
