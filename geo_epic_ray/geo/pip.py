@@ -93,6 +93,21 @@ class PolygonIndex:
             vc: np.stack([polygons[i][0] for i in ix])
             for vc, ix in by_vc.items()
         }
+        # per-edge CONTIGUOUS 1-D coordinate arrays: the hot loop gathers
+        # stack[pos, e, c] per edge, and strided 2-D gathers are ~an order
+        # slower than contiguous 1-D gathers on this kernel (THP faults)
+        self._edge_xy: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]] = {
+            vc: [
+                (
+                    np.ascontiguousarray(stack[:, e, 0]),
+                    np.ascontiguousarray(stack[:, e, 1]),
+                    np.ascontiguousarray(stack[:, e + 1, 0]),
+                    np.ascontiguousarray(stack[:, e + 1, 1]),
+                )
+                for e in range(vc - 1)
+            ]
+            for vc, stack in self._ring_stack.items()
+        }
         for vc, ix in by_vc.items():
             self._vc_groups[vc] = np.asarray(ix, dtype=np.int64)
         # position of polygon i inside its vc stack
@@ -128,7 +143,7 @@ class PolygonIndex:
             ppt = np.concatenate(pair_pt)
             ppo = np.concatenate(pair_poly)
             # batched even-odd per vertex-count group
-            for vc, stack in self._ring_stack.items():
+            for vc, edges in self._edge_xy.items():
                 m = self._vc_of[ppo] == vc
                 if not m.any():
                     continue
@@ -136,9 +151,9 @@ class PolygonIndex:
                 pos = self._pos_in_stack[ppo[m]]
                 px, py = lon[pts], lat[pts]
                 inside = np.zeros(pts.size, dtype=bool)
-                for e in range(vc - 1):
-                    xa, ya = stack[pos, e, 0], stack[pos, e, 1]
-                    xb, yb = stack[pos, e + 1, 0], stack[pos, e + 1, 1]
+                for exa, eya, exb, eyb in edges:
+                    xa, ya = exa[pos], eya[pos]
+                    xb, yb = exb[pos], eyb[pos]
                     crosses = (ya > py) != (yb > py)
                     with np.errstate(divide="ignore", invalid="ignore"):
                         xint = xa + (py - ya) * (xb - xa) / (yb - ya)
