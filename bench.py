@@ -71,20 +71,36 @@ def run_headline() -> dict:
     processes and pages the corpus), then best wall time of 3 runs — the
     sandbox is a shared host with high run-to-run variance, and the metric
     of interest is sustained docs/sec, not process spin-up."""
+    import numpy as np
+    import pyarrow as pa
     import ray
     import ray.data as rd
 
     from geo_epic_ray.pipelines.flagship import default_concurrency, flagship_enrich
-    from geo_epic_ray.stages.aggregates import grouped_counts
+    from geo_epic_ray.stages.aggregates import partials_to_driver
+
+    def tile_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["tile_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"tile_id": keys, "partial_n": counts.astype(np.int64)})
 
     def one_run() -> tuple[float, int]:
         docs = rd.read_parquet(CORPUS_DIR, override_num_blocks=max(128, 8 * NUM_CPUS))
         t0 = time.perf_counter()
         enriched = flagship_enrich(docs, skew=True, batch_size=16384)
-        # partial combine per batch, then a 24-group shuffle of partials —
-        # never shuffle the spans payload or the raw rows
-        n_tiles = grouped_counts(enriched, "tile_id").count()
-        return time.perf_counter() - t0, n_tiles
+        # zonal aggregate via per-batch partial combine + driver merge —
+        # the documented low-cardinality rule (24 tiles x #blocks rows on
+        # the driver). Ray's groupby().aggregate on the partials cost
+        # O(blocks)-ish extra wall (measured 11.3s vs 7.4s at 256 blocks)
+        # for the same 24-row answer; never shuffle payload or raw rows.
+        df = partials_to_driver(
+            enriched.select_columns(["tile_id"]).map_batches(
+                tile_partial, batch_format="pyarrow"
+            ),
+            lambda p: p.groupby("tile_id", as_index=False)["partial_n"].sum(),
+        )
+        return time.perf_counter() - t0, len(df)
 
     one_run()  # warmup (worker spawn + page cache)
     runs = [one_run() for _ in range(N_RUNS)]
