@@ -1350,3 +1350,65 @@ def multimodal_video_framesample(sf_dir: str):
         )
 
     return out.map_batches(project, batch_format="pandas")
+
+
+# --- exact duplicated-substring removal (Lee et al. 2022 shape) ---------------
+
+_SUBSTR_K = 30
+
+_SUBSTR_DEDUP_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, p, {_SUBSTR_K}) AS g
+  FROM documents, unnest(range(1, length(text) - {_SUBSTR_K} + 2)) t(p)
+),
+df AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+dup AS (SELECT doc_id, p FROM grams JOIN df USING (g) WHERE df.c >= 2),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p + {_SUBSTR_K}) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+              WHEN p > max(p + {_SUBSTR_K}) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1
+              ELSE 0 END AS new_isl
+  FROM dup
+),
+isl2 AS (SELECT doc_id, p, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS iid FROM isl),
+spans AS (SELECT doc_id, iid, min(p) AS s, max(p) + {_SUBSTR_K} AS e
+          FROM isl2 GROUP BY doc_id, iid),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s) AS BIGINT) AS n_removed
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(a.n_removed, 0) AS n_removed,
+       CASE WHEN a.doc_id IS NULL THEN d.text ELSE COALESCE((
+         SELECT string_agg(substr(d.text, kst, ken - kst), '' ORDER BY kst)
+         FROM (
+           SELECT lag(e, 1, 1) OVER (ORDER BY s) AS kst, s AS ken
+           FROM spans WHERE spans.doc_id = d.doc_id
+           UNION ALL
+           SELECT max(e), length(d.text) + 1 FROM spans WHERE spans.doc_id = d.doc_id
+         ) seg(kst, ken)
+         WHERE ken > kst
+       ), '') END AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("substring_dedup", _SUBSTR_DEDUP_SQL)
+def substring_dedup(sf_dir: str):
+    """EXACT duplicated-substring removal (stages/dedup.py
+    exact_substring_dedup — the Lee et al. 2022 operator shape): every
+    char covered by a {k}-char substring occurring >= 2 times anywhere in
+    the corpus is dropped, docs reassembled from the survivors. Two task
+    exchanges (gram-string bucketing for exact corpus counts, doc-bucket
+    cogroup for interval union + slicing); the DuckDB oracle recomputes
+    spans and the reassembled text verbatim, so clean_text itself is
+    hash-checked."""
+    from ..stages.dedup import exact_substring_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_substring_dedup(ds, k=_SUBSTR_K)

@@ -1298,3 +1298,135 @@ def blocked_pair_edges(
         bucket_of,
     )
     return exchange.group_map(parts, per_bucket, empty)
+
+
+def exact_substring_dedup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """EXACT duplicated-substring removal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" operator
+    shape): every character covered by a k-char substring that occurs
+    >= 2 times in the CORPUS (any doc, including overlaps within one doc)
+    is removed from every doc; the survivors are reassembled in order.
+    Policy note: all occurrences are removed (deterministic — no
+    keep-one-copy tie decision), which is the decontamination-grade
+    variant.
+
+    Plan (two exchanges, both on the task exchange):
+    1. explode (gram, doc, pos) — gram strings carried so duplicate
+       detection is EXACT (no hash-collision caveat), bucketed by gram
+       hash: each reduce owns every copy of a gram and emits the
+       positions of grams with corpus count >= 2.
+    2. duplicate positions cogroup with (doc, text) by doc bucket; the
+       interval union per doc is vectorized with the offset-cummax trick
+       (no per-doc Python until the final slicing of docs that actually
+       contain duplicates).
+
+    At 100 TB the explode is ~k bytes/char; production would prefilter by
+    a first hash-only pass (carrying strings only for candidate hashes,
+    the incremental_dedup pattern) — documented here, exactness kept for
+    the gate."""
+    from . import exchange
+
+    ds = ds.materialize()  # dual consumer: gram explode + payload cogroup
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, grams, pos = [], [], []
+        for did, t in zip(b[id_col].to_numpy(), b[text_col].to_numpy()):
+            n = len(t)
+            if n < k:
+                continue
+            m = n - k + 1
+            ids.append(np.full(m, did, dtype=np.int64))
+            grams.extend(t[p : p + k] for p in range(m))
+            pos.append(np.arange(1, m + 1, dtype=np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype=str),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "p": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"g": grams, id_col: np.concatenate(ids), "p": np.concatenate(pos)}
+        )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("g")["g"].transform("size")
+        out = g[cnt >= 2]
+        return out[[id_col, "p"]]
+
+    gram_rows = ds.map_batches(explode, batch_format="pandas")
+    dup_empty = pd.DataFrame(
+        {id_col: pd.Series([], dtype=np.int64), "p": pd.Series([], dtype=np.int64)}
+    )
+    dups = exchange.group_map(
+        exchange.scatter(
+            gram_rows, n_buckets, exchange.key_cols_bucket_fn(["g"], n_buckets)
+        ),
+        dup_positions, dup_empty,
+    )
+
+    def assemble(dup_df: pd.DataFrame | None, docs_df: pd.DataFrame | None) -> pd.DataFrame:
+        if docs_df is None or not len(docs_df):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "n_dup_spans": pd.Series([], dtype=np.int64),
+                 "n_removed": pd.Series([], dtype=np.int64),
+                 "clean_text": pd.Series([], dtype=str)}
+            )
+        spans_of: dict[int, list[tuple[int, int]]] = {}
+        if dup_df is not None and len(dup_df):
+            d = dup_df[id_col].to_numpy()
+            p = dup_df["p"].to_numpy()
+            order = np.lexsort((p, d))
+            d, p = d[order], p[order]
+            BIG = np.int64(1) << 40  # > any doc length
+            pk = d * BIG + p
+            ek = d * BIG + p + k
+            prev_max = np.concatenate(([np.iinfo(np.int64).min],
+                                       np.maximum.accumulate(ek)[:-1]))
+            new_isl = pk > prev_max
+            iid = np.cumsum(new_isl) - 1
+            starts = np.flatnonzero(new_isl)
+            s = p[starts]
+            e = np.maximum.reduceat(p + k, starts)
+            sd = d[starts]
+            for j in range(sd.size):
+                spans_of.setdefault(int(sd[j]), []).append((int(s[j]), int(e[j])))
+        out_rows = []
+        for did, t in zip(docs_df[id_col].to_numpy(), docs_df[text_col].to_numpy()):
+            spans = spans_of.get(int(did))
+            if not spans:
+                out_rows.append((did, 0, 0, t))
+                continue
+            kept = []
+            cur = 1  # 1-based positions like SQL substr
+            removed = 0
+            for s0, e0 in spans:
+                kept.append(t[cur - 1 : s0 - 1])
+                removed += e0 - s0
+                cur = e0
+            kept.append(t[cur - 1 :])
+            out_rows.append((did, len(spans), removed, "".join(kept)))
+        return pd.DataFrame(
+            out_rows, columns=[id_col, "n_dup_spans", "n_removed", "clean_text"]
+        )
+
+    docs_only = ds.select_columns([id_col, text_col])
+    parts_dup, parts_docs = exchange.scatter_pair(
+        dups, exchange.hash_bucket_fn(id_col, n_buckets),
+        docs_only, exchange.hash_bucket_fn(id_col, n_buckets),
+        n_buckets,
+    )
+    empty = pd.DataFrame(
+        {id_col: pd.Series([], dtype=np.int64),
+         "n_dup_spans": pd.Series([], dtype=np.int64),
+         "n_removed": pd.Series([], dtype=np.int64),
+         "clean_text": pd.Series([], dtype=str)}
+    )
+    return exchange.cogroup_map(parts_dup, parts_docs, assemble, empty, require="right")

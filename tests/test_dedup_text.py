@@ -315,3 +315,33 @@ def test_ngram_jaccard_pairs_short_docs(ray_session):
     out = ngram_jaccard_pairs(ds, threshold=0.99).to_pandas()
     got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
     assert got == {(0, 1), (3, 4)}
+
+
+def test_exact_substring_dedup_planted(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import exact_substring_dedup
+
+    boiler = "0123456789abcdefghij"  # k=20 planted duplicate
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "AAAA" + boiler + "BBBB",
+                "CC" + boiler + "DD" + boiler,  # two spans, merged? (gap 2 < k ok)
+                "unique text with no repeats at all....",
+                boiler,                          # fully removed
+                "tiny",                          # shorter than k: untouched
+            ],
+        }
+    )
+    out = (
+        exact_substring_dedup(rd.from_pandas(docs).repartition(3), k=20, n_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, "clean_text"] == "AAAABBBB" and out.loc[0, "n_removed"] == 20
+    # doc 1: spans [3,23) and [25,45) -> kept "CC" + "DD"
+    assert out.loc[1, "clean_text"] == "CCDD" and out.loc[1, "n_dup_spans"] == 2
+    assert out.loc[2, "clean_text"] == docs.text[2] and out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_removed"] == 20
+    assert out.loc[4, "clean_text"] == "tiny"
