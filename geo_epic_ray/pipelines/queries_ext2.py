@@ -721,30 +721,30 @@ def incremental_dedup_new(sf_dir: str):
     novel_fast = new.map_batches(split_by_bloom(False), batch_format="pandas")
     candidates = new.map_batches(split_by_bloom(True), batch_format="pandas")
 
-    # exact residual: bucketed anti-join of candidates vs old prefixes
-    def tag(side: int):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["__side"] = side
-            b["__bucket"] = (
-                pd.util.hash_array(b.prefix.to_numpy()) % np.uint64(32)
-            ).astype("int64")
-            return b
+    # exact residual: bucketed anti-join of candidates vs old prefixes on
+    # the cogroup exchange (no padded union, no sort-shuffle fixed cost —
+    # the union+groupby form measured ~2s of the query's 4.1s)
+    from ..stages import exchange
 
-        return f
-
-    both = old.map_batches(tag(0), batch_format="pandas").union(
-        candidates.map_batches(tag(1), batch_format="pandas")
+    parts_old, parts_cand = exchange.scatter_pair(
+        old, exchange.key_cols_bucket_fn(["prefix"], 32),
+        candidates, exchange.key_cols_bucket_fn(["prefix"], 32),
+        32,
     )
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        seen = set(g.loc[g.__side == 0, "prefix"])
-        cand = g[g.__side == 1]
-        keep = cand[~cand.prefix.isin(seen)]
+    def anti(old_df: pd.DataFrame | None, cand_df: pd.DataFrame | None) -> pd.DataFrame:
+        if cand_df is None or not len(cand_df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        if old_df is None or not len(old_df):
+            keep = cand_df
+        else:
+            keep = cand_df[~cand_df.prefix.isin(set(old_df.prefix))]
         return keep[["doc_id"]].astype({"doc_id": "int64"})
 
-    rescued = (
-        both.groupby("__bucket").map_groups(anti, batch_format="pandas")
+    rescued = exchange.cogroup_map(
+        parts_old, parts_cand, anti,
+        pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)}),
+        require="right",
     )
     return novel_fast.select_columns(["doc_id"]).union(rescued)
 
