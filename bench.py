@@ -88,7 +88,10 @@ def run_headline() -> dict:
     def one_run() -> tuple[float, int]:
         docs = rd.read_parquet(CORPUS_DIR, override_num_blocks=max(128, 8 * NUM_CPUS))
         t0 = time.perf_counter()
-        enriched = flagship_enrich(docs, skew=True, batch_size=16384)
+        # 32k batches measured best (16k: 7.8s, 32k: 6.7s, 64k: 7.0s) —
+        # enough rows to amortize the per-batch kernel entries, small
+        # enough that batch x concurrency stays in worker heaps
+        enriched = flagship_enrich(docs, skew=True, batch_size=32768)
         # zonal aggregate via per-batch partial combine + driver merge —
         # the documented low-cardinality rule (24 tiles x #blocks rows on
         # the driver). Ray's groupby().aggregate on the partials cost
