@@ -251,7 +251,7 @@ class LatticeKnn:
     enumerated in non-decreasing id order and argmax takes the first
     occurrence."""
 
-    def __init__(self, gid, glat, glon, nrows: int, ncols: int):
+    def __init__(self, gid, glat, glon, nrows: int, ncols: int, res: int = 6):
         self.gid = gid
         self.glat = glat
         self.glon = glon
@@ -259,6 +259,7 @@ class LatticeKnn:
         self.row_lats = glat[::ncols].copy()
         self.col_lons = glon[:ncols].copy()
         self.gxyz = _unit_xyz(glat, glon)
+        self.res = res  # forwarded to the lazy query_k fallback index
         self._generic: KnnIndex | None = None
 
     def query(self, qlat: np.ndarray, qlon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -287,11 +288,11 @@ class LatticeKnn:
         # k > 1 needs the ring-guarantee machinery — delegate (built lazily;
         # the hot flagship path only ever calls query())
         if self._generic is None:
-            self._generic = KnnIndex(self.gid, self.glat, self.glon, res=6)
+            self._generic = KnnIndex(self.gid, self.glat, self.glon, res=self.res)
         return self._generic.query_k(qlat, qlon, k)
 
 
-def detect_lattice(gid, glat, glon) -> LatticeKnn | None:
+def detect_lattice(gid, glat, glon, res: int = 6) -> LatticeKnn | None:
     """Structural lattice check with NO float reconstruction: ids are
     0..n-1 in row-major order, glat constant within each row and strictly
     increasing across rows, glon tiling a strictly increasing column
@@ -318,7 +319,7 @@ def detect_lattice(gid, glat, glon) -> LatticeKnn | None:
         and np.array_equal(glon, np.tile(col_lons, nrows))
     ):
         return None
-    return LatticeKnn(gid, glat, glon, nrows, ncols)
+    return LatticeKnn(gid, glat, glon, nrows, ncols, res=res)
 
 
 def build_knn_index(gid, glat, glon, res: int = 8):
@@ -328,9 +329,9 @@ def build_knn_index(gid, glat, glon, res: int = 8):
     stays near the point count — finer cells only multiply the
     per-worker candidate-cache warmup (one ring search per occupied
     query cell) without shrinking candidate sets."""
-    lat = detect_lattice(gid, glat, glon)
+    n = max(2, np.asarray(gid).size)
+    res_eff = min(res, max(2, int(np.ceil(0.5 * np.log2(n)))))
+    lat = detect_lattice(gid, glat, glon, res=res_eff)
     if lat is not None:
         return lat
-    n = max(2, np.asarray(gid).size)
-    res_cap = max(2, int(np.ceil(0.5 * np.log2(n))))
-    return KnnIndex(gid, glat, glon, res=min(res, res_cap))
+    return KnnIndex(gid, glat, glon, res=res_eff)

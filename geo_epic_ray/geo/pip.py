@@ -89,15 +89,15 @@ class PolygonIndex:
                 by_vc.setdefault(rings[0].shape[0], []).append(i)
             else:
                 self._general.append(i)
-        self._ring_stack: dict[int, np.ndarray] = {
-            vc: np.stack([polygons[i][0] for i in ix])
-            for vc, ix in by_vc.items()
-        }
         # per-edge CONTIGUOUS 1-D coordinate arrays: the hot loop gathers
-        # stack[pos, e, c] per edge, and strided 2-D gathers are ~an order
-        # slower than contiguous 1-D gathers on this kernel (THP faults)
-        self._edge_xy: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]] = {
-            vc: [
+        # per-polygon edge coordinates, and strided 2-D gathers are ~an
+        # order slower than contiguous 1-D gathers on this kernel (THP
+        # faults). Built directly from the per-vc stacks, which are then
+        # dropped — keeping both would double per-actor coordinate memory.
+        self._edge_xy: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]] = {}
+        for vc, ix in by_vc.items():
+            stack = np.stack([polygons[i][0] for i in ix])
+            self._edge_xy[vc] = [
                 (
                     np.ascontiguousarray(stack[:, e, 0]),
                     np.ascontiguousarray(stack[:, e, 1]),
@@ -106,8 +106,6 @@ class PolygonIndex:
                 )
                 for e in range(vc - 1)
             ]
-            for vc, stack in self._ring_stack.items()
-        }
         for vc, ix in by_vc.items():
             self._vc_groups[vc] = np.asarray(ix, dtype=np.int64)
         # position of polygon i inside its vc stack

@@ -160,11 +160,13 @@ def run_flagship(
 
     # disk-space preflight (reference utils/misc.py:137-162), free from the
     # salt-planning pass's total: fail before the expensive enrich+shuffle
-    # starts. Skipped partitions are at most the whole estimate — still a
-    # safe (over-)estimate on resume.
+    # starts. Committed partitions are subtracted so a resume only needs
+    # room for the work it will actually redo (a crashed run's output IS
+    # why the disk is fuller now).
     from ..state.preflight import check_disk_space
 
-    check_disk_space(out_dir, est_rows * 512)
+    done_rows = sum(r.row_count for r in done.values())
+    check_disk_space(out_dir, max(0, est_rows - done_rows) * 512)
 
     def drop_done(batch: pa.Table, *, finished: frozenset) -> pa.Table:
         if not finished:

@@ -1385,13 +1385,19 @@ def exact_substring_dedup(
             p = dup_df["p"].to_numpy()
             order = np.lexsort((p, d))
             d, p = d[order], p[order]
-            BIG = np.int64(1) << 40  # > any doc length
-            pk = d * BIG + p
-            ek = d * BIG + p + k
+            # composite island keys use COMPACT doc ranks, not raw ids: a
+            # raw doc_id * BIG product wraps int64 for ids >= 2^23 (the
+            # CLAUDE.md silent-wrap class) — ranks are bounded by the
+            # bucket's row count, and the bound is asserted anyway
+            _, rank = np.unique(d, return_inverse=True)
+            BIG = np.int64(p.max()) + k + 1
+            if int(rank[-1] if rank.size else 0) * int(BIG) >= 1 << 62:
+                raise ValueError("substring-dedup bucket too large for island keys")
+            pk = rank * BIG + p
+            ek = pk + k
             prev_max = np.concatenate(([np.iinfo(np.int64).min],
                                        np.maximum.accumulate(ek)[:-1]))
             new_isl = pk > prev_max
-            iid = np.cumsum(new_isl) - 1
             starts = np.flatnonzero(new_isl)
             s = p[starts]
             e = np.maximum.reduceat(p + k, starts)

@@ -331,8 +331,12 @@ def key_cols_bucket_fn(
     a second-level split (group_map's bucket guardrail) from the outer
     routing; the default 0 is the shared co-partitioning hash."""
 
+    # wrap-correct salt constant computed in Python ints: a numpy scalar
+    # uint64 multiply emits RuntimeWarning on overflow (crash under -W error)
+    salt_c = np.uint64((salt * 0x9E3779B97F4A7C15) % (1 << 64))
+
     def f(tbl: pa.Table) -> np.ndarray:
-        h = np.full(tbl.num_rows, np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+        h = np.full(tbl.num_rows, salt_c, dtype=np.uint64)
         for k in key_cols:
             # per-column 1-D conversion only of the key columns (the
             # scatter task prunes via needs_cols); string keys still go
