@@ -1412,3 +1412,85 @@ def substring_dedup(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_substring_dedup(ds, k=_SUBSTR_K)
+
+
+# --- bigram-LM perplexity (KenLM-shape corpus scoring) ------------------------
+
+_BIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+sc AS (
+  SELECT bg.doc_id, ln(CAST(n12 AS DOUBLE) / n1) AS lp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round_even(exp(-sum(lp) / count(*)), 6) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+@register("bigram_perplexity", _BIGRAM_PPL_SQL)
+def bigram_perplexity(sf_dir: str):
+    """Corpus-LM perplexity scoring (the KenLM quality-filter shape with
+    the LM ESTIMATED FROM THE CORPUS ITSELF): MLE bigram model
+    p(w2|w1) = c(w1,w2)/c(w1), per-doc ppl = exp(-mean ln p) over the
+    doc's bigrams. Two shuffles, token_df_score's pattern: (1) distinct
+    (doc, w1, w2) occurrence counts bucket by w1 — each bucket owns every
+    (w1, *) row, so both model counts AND the per-occurrence log-prob
+    annotation happen in one grouped pass, no model broadcast; (2)
+    annotated partials bucket by doc. ln/exp ulp noise (numpy vs DuckDB)
+    sits ~8 orders under the round-even-6 tolerance."""
+    from ..stages.aggregates import bucketed_group_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bigrams(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b.text.str.split(" ").explode()
+        doc = b.loc[ex.index, "doc_id"].to_numpy()
+        w = ex.to_numpy()
+        if w.size < 2:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+                 "occ": pd.Series([], dtype=np.int64)}
+            )
+        same = doc[1:] == doc[:-1]  # explode preserves in-doc token order
+        f = pd.DataFrame(
+            {"doc_id": doc[:-1][same], "w1": w[:-1][same], "w2": w[1:][same]}
+        )
+        # pre-combine to distinct rows before the string shuffle
+        return f.groupby(["doc_id", "w1", "w2"], as_index=False).size().rename(
+            columns={"size": "occ"}
+        )
+
+    occ = docs.map_batches(bigrams, batch_format="pandas")
+
+    def annotate(g: pd.DataFrame) -> pd.DataFrame:
+        occv = g.occ.to_numpy(np.int64)
+        n1 = g.groupby("w1")["occ"].transform("sum").to_numpy(np.int64)
+        n12 = g.groupby(["w1", "w2"])["occ"].transform("sum").to_numpy(np.int64)
+        lp = np.log(n12 / n1)
+        part = pd.DataFrame({"doc_id": g.doc_id.to_numpy(),
+                             "s": lp * occv, "n": occv})
+        return part.groupby("doc_id", as_index=False).sum()
+
+    ann = bucketed_group_agg(occ, ["w1"], annotate, n_buckets=64)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("doc_id", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+        return pd.DataFrame(
+            {"doc_id": gg.doc_id.to_numpy(),
+             "n_bigrams": gg.n.to_numpy(np.int64),
+             "ppl": np.round(np.exp(-gg.s.to_numpy() / gg.n.to_numpy()), 6)}
+        )
+
+    return bucketed_group_agg(ann, ["doc_id"], per_doc, n_buckets=64)

@@ -345,3 +345,43 @@ def test_exact_substring_dedup_planted(ray_session):
     assert out.loc[2, "clean_text"] == docs.text[2] and out.loc[2, "n_removed"] == 0
     assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_removed"] == 20
     assert out.loc[4, "clean_text"] == "tiny"
+
+
+def test_exact_substring_dedup_random_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import exact_substring_dedup
+
+    rng = np.random.default_rng(17)
+    k = 6
+    # small alphabet so k-gram collisions actually occur
+    docs = [
+        "".join(rng.choice(list("abc"), rng.integers(0, 30)))
+        for _ in range(40)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+
+    # brute force: global k-gram counts, then per-doc interval union
+    from collections import Counter
+    cnt = Counter(t[p:p + k] for t in docs for p in range(len(t) - k + 1))
+    want = {}
+    for did, t in enumerate(docs):
+        covered = np.zeros(len(t), dtype=bool)
+        for p in range(len(t) - k + 1):
+            if cnt[t[p:p + k]] >= 2:
+                covered[p:p + k] = True
+        clean = "".join(ch for ch, c in zip(t, covered) if not c)
+        # spans = runs of covered
+        d = np.diff(covered.astype(int))
+        n_spans = int((d == 1).sum() + (1 if covered[:1].any() and covered[0] else 0))
+        want[did] = (n_spans, int(covered.sum()), clean)
+
+    out = (
+        exact_substring_dedup(rd.from_pandas(df).repartition(5), k=k, n_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, r in out.iterrows():
+        ns, nr, clean = want[int(r.doc_id)]
+        assert r.n_removed == nr, (r.doc_id, r.n_removed, nr)
+        assert r.clean_text == clean, (r.doc_id, r.clean_text, clean)
+        assert r.n_dup_spans == ns, (r.doc_id, r.n_dup_spans, ns)
