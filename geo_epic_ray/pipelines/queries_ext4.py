@@ -1453,6 +1453,8 @@ def bigram_perplexity(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    US = "\x1f"
+
     def bigrams(b: pd.DataFrame) -> pd.DataFrame:
         ex = b.text.str.split(" ").explode()
         doc = b.loc[ex.index, "doc_id"].to_numpy()
@@ -1460,15 +1462,18 @@ def bigram_perplexity(sf_dir: str):
         if w.size < 2:
             return pd.DataFrame(
                 {"doc_id": pd.Series([], dtype=np.int64),
-                 "w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+                 "w1": pd.Series([], dtype=str), "bg": pd.Series([], dtype=str),
                  "occ": pd.Series([], dtype=np.int64)}
             )
         same = doc[1:] == doc[:-1]  # explode preserves in-doc token order
-        f = pd.DataFrame(
-            {"doc_id": doc[:-1][same], "w1": w[:-1][same], "w2": w[1:][same]}
-        )
+        # ONE fused bigram string ("w1\x1fw2") instead of two object
+        # columns — object strings are the expensive part of the shuffle;
+        # w1 rides along only as the bucket/model key
+        w1 = w[:-1][same]
+        bg = np.char.add(np.char.add(w1.astype(str), US), w[1:][same].astype(str))
+        f = pd.DataFrame({"doc_id": doc[:-1][same], "w1": w1, "bg": bg})
         # pre-combine to distinct rows before the string shuffle
-        return f.groupby(["doc_id", "w1", "w2"], as_index=False).size().rename(
+        return f.groupby(["doc_id", "w1", "bg"], as_index=False).size().rename(
             columns={"size": "occ"}
         )
 
@@ -1477,13 +1482,13 @@ def bigram_perplexity(sf_dir: str):
     def annotate(g: pd.DataFrame) -> pd.DataFrame:
         occv = g.occ.to_numpy(np.int64)
         n1 = g.groupby("w1")["occ"].transform("sum").to_numpy(np.int64)
-        n12 = g.groupby(["w1", "w2"])["occ"].transform("sum").to_numpy(np.int64)
+        n12 = g.groupby("bg")["occ"].transform("sum").to_numpy(np.int64)
         lp = np.log(n12 / n1)
         part = pd.DataFrame({"doc_id": g.doc_id.to_numpy(),
                              "s": lp * occv, "n": occv})
         return part.groupby("doc_id", as_index=False).sum()
 
-    ann = bucketed_group_agg(occ, ["w1"], annotate, n_buckets=64)
+    ann = bucketed_group_agg(occ, ["w1"], annotate, n_buckets=16)
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
         gg = g.groupby("doc_id", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
@@ -1493,4 +1498,4 @@ def bigram_perplexity(sf_dir: str):
              "ppl": np.round(np.exp(-gg.s.to_numpy() / gg.n.to_numpy()), 6)}
         )
 
-    return bucketed_group_agg(ann, ["doc_id"], per_doc, n_buckets=64)
+    return bucketed_group_agg(ann, ["doc_id"], per_doc, n_buckets=16)
