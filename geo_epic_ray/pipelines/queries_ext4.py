@@ -1499,3 +1499,59 @@ def bigram_perplexity(sf_dir: str):
         )
 
     return bucketed_group_agg(ann, ["doc_id"], per_doc, n_buckets=16)
+
+
+# --- JSONL / CSV corpus round trips -------------------------------------------
+
+_TEXTIO_SQL = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def _textio_roundtrip(sf_dir: str, fmt: str):
+    from ..sources.textio import ensure_converted, read_csv_docs, read_jsonl_docs
+    from ..stages.aggregates import partials_to_driver
+
+    path = ensure_converted(sf_dir, fmt)
+    ds = read_jsonl_docs(path) if fmt == "jsonl" else read_csv_docs(path)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(one=1, text_len=b.text.str.len().astype(np.int64))
+        return b.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("one", "sum"), sum_doc=("doc_id", "sum"),
+            sum_text_len=("text_len", "sum"), sum_chars=("n_chars", "sum"),
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(["lang", "source"], as_index=False).sum()
+        for c in ["n_docs", "sum_doc", "sum_text_len", "sum_chars"]:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return partials_to_driver(
+        ds.map_batches(partial, batch_format="pandas"), final
+    )
+
+
+@register("jsonl_roundtrip", _TEXTIO_SQL)
+def jsonl_roundtrip(sf_dir: str):
+    """JSONL corpus source fidelity: the documents table is converted to
+    line-delimited JSON shards once (marker-gated under /tmp), read back
+    through sources/textio.read_jsonl_docs (schema-normalized — JSON
+    numbers arrive as the reader's widest inference), and aggregated per
+    (lang, source) including sum(length(text)) — the oracle computes the
+    same over the PARQUET source, so any escaping/encoding corruption in
+    the round trip breaks the hash."""
+    return _textio_roundtrip(sf_dir, "jsonl")
+
+
+@register("csv_roundtrip", _TEXTIO_SQL)
+def csv_roundtrip(sf_dir: str):
+    """CSV corpus source fidelity — same contract as jsonl_roundtrip
+    through the quoted-CSV writer/reader (Arrow dialect), so quoting of
+    embedded delimiters/newlines is verified by value, not assumed."""
+    return _textio_roundtrip(sf_dir, "csv")
