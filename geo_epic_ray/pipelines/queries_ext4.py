@@ -1482,7 +1482,9 @@ def bigram_perplexity(sf_dir: str):
     def annotate(g: pd.DataFrame) -> pd.DataFrame:
         occv = g.occ.to_numpy(np.int64)
         n1 = g.groupby("w1")["occ"].transform("sum").to_numpy(np.int64)
-        n12 = g.groupby("bg")["occ"].transform("sum").to_numpy(np.int64)
+        # group on (w1, bg): a token containing the \x1f separator could
+        # otherwise alias two different (w1, w2) pairs to one fused string
+        n12 = g.groupby(["w1", "bg"])["occ"].transform("sum").to_numpy(np.int64)
         lp = np.log(n12 / n1)
         part = pd.DataFrame({"doc_id": g.doc_id.to_numpy(),
                              "s": lp * occv, "n": occv})
@@ -1552,6 +1554,8 @@ def jsonl_roundtrip(sf_dir: str):
 @register("csv_roundtrip", _TEXTIO_SQL)
 def csv_roundtrip(sf_dir: str):
     """CSV corpus source fidelity — same contract as jsonl_roundtrip
-    through the quoted-CSV writer/reader (Arrow dialect), so quoting of
-    embedded delimiters/newlines is verified by value, not assumed."""
+    through the quoted-CSV writer/reader (Arrow dialect,
+    newlines_in_values on). The gate corpus text contains no embedded
+    delimiters; test_textio_special_chars exercises quoting/newlines
+    explicitly."""
     return _textio_roundtrip(sf_dir, "csv")

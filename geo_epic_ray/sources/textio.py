@@ -61,8 +61,15 @@ def write_jsonl_docs(ds: rd.Dataset, out_dir: str) -> None:
 
 def read_csv_docs(path: str, schema: pa.Schema = DOC_SCHEMA) -> rd.Dataset:
     """Read a CSV document corpus (quoted; Arrow CSV dialect) with schema
-    normalization."""
-    return _normalize(rd.read_csv(path), schema)
+    normalization. ``newlines_in_values`` is ON: document text legally
+    contains newlines, and Arrow's default chunked parser would split a
+    block inside a quoted value and fail on column count."""
+    from pyarrow import csv as pacsv
+
+    return _normalize(
+        rd.read_csv(path, parse_options=pacsv.ParseOptions(newlines_in_values=True)),
+        schema,
+    )
 
 
 def write_csv_docs(ds: rd.Dataset, out_dir: str) -> None:
@@ -77,6 +84,8 @@ def ensure_converted(
     directory. The copy is the INPUT of the round-trip gate queries."""
     import hashlib
 
+    import shutil
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = os.path.join(scratch_root, f"{fmt}_{tag}")
     # marker is a SIBLING of the shard dir: a stray non-data file inside
@@ -85,13 +94,20 @@ def ensure_converted(
     if os.path.exists(marker):
         return out
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
-    os.makedirs(out, exist_ok=True)
+    # crash-safe: write into a temp dir and rename — a killed first run
+    # must not leave partial shards a retry would APPEND fresh UUID-named
+    # files next to (permanently duplicated rows under a valid marker)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     if fmt == "jsonl":
-        write_jsonl_docs(docs, out)
+        write_jsonl_docs(docs, tmp)
     elif fmt == "csv":
-        write_csv_docs(docs, out)
+        write_csv_docs(docs, tmp)
     else:
         raise ValueError(fmt)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -77,21 +77,37 @@ def ann_topk(
     )
 
 
+def _lloyd(
+    x: np.ndarray, k: int, iters: int, rng: np.random.Generator,
+    *, spherical: bool,
+) -> np.ndarray:
+    """Shared Lloyd loop (driver-side samples only): ``spherical`` uses
+    argmax-dot assignment + renormalized centroids (IVF coarse
+    quantizer); plain mode uses L2 argmin (PQ subspace codebooks).
+    Empty clusters keep their previous centroid."""
+    c = x[rng.choice(x.shape[0], size=min(k, x.shape[0]), replace=False)].copy()
+    for _ in range(iters):
+        if spherical:
+            assign = np.argmax(x @ c.T, axis=1)
+        else:
+            assign = np.argmin(
+                -2.0 * x @ c.T + (c**2).sum(axis=1)[None, :], axis=1
+            )
+        for j in range(c.shape[0]):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        if spherical:
+            c = _normalize(c)
+    return c
+
+
 def train_ivf_centroids(
     sample: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 5
 ) -> np.ndarray:
     """Plain k-means on a driver-side sample (spherical: normalized)."""
     x = _normalize(np.asarray(sample, dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    c = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(x @ c.T, axis=1)
-        for j in range(c.shape[0]):
-            m = assign == j
-            if m.any():
-                c[j] = x[m].mean(axis=0)
-        c = _normalize(c)
-    return c
+    return _lloyd(x, n_centroids, iters, np.random.default_rng(seed), spherical=True)
 
 
 def ivf_partition(
@@ -259,18 +275,7 @@ def train_pq_codebooks(
     rng = np.random.default_rng(seed)
     books = np.empty((m, ks, d))
     for s in range(m):
-        xs = x[:, s * d : (s + 1) * d]
-        c = xs[rng.choice(n, size=min(ks, n), replace=False)].copy()
-        for _ in range(iters):
-            d2 = (
-                -2.0 * xs @ c.T
-                + (c**2).sum(axis=1)[None, :]
-            )
-            a = np.argmin(d2, axis=1)
-            for j in range(c.shape[0]):
-                msk = a == j
-                if msk.any():
-                    c[j] = xs[msk].mean(axis=0)
+        c = _lloyd(x[:, s * d : (s + 1) * d], ks, iters, rng, spherical=False)
         books[s, : c.shape[0]] = c
         if c.shape[0] < ks:  # tiny sample: repeat last centroid as filler
             books[s, c.shape[0]:] = c[-1]

@@ -373,7 +373,7 @@ def test_exact_substring_dedup_random_vs_bruteforce(ray_session):
         clean = "".join(ch for ch, c in zip(t, covered) if not c)
         # spans = runs of covered
         d = np.diff(covered.astype(int))
-        n_spans = int((d == 1).sum() + (1 if covered[:1].any() and covered[0] else 0))
+        n_spans = int((d == 1).sum() + (1 if covered[:1].any() else 0))
         want[did] = (n_spans, int(covered.sum()), clean)
 
     out = (

@@ -557,3 +557,28 @@ def test_frame_sample_real_decode(ray_session):
         assert row.n_frames == vid.shape[0]
         assert row.n_frames_sampled == want.shape[0]
         assert bytes(row.sampled_frames) == want.tobytes()
+
+
+def test_textio_special_chars(ray_session, tmp_path):
+    """JSONL and CSV round trips preserve text with embedded newlines,
+    quotes, commas and the \x1f separator — byte-for-byte."""
+    import ray.data as rd
+
+    from geo_epic_ray.sources.textio import (read_csv_docs, read_jsonl_docs,
+                                             write_csv_docs, write_jsonl_docs)
+
+    texts = ['line one\nline two', 'quote " and, comma', 'sep\x1fhere',
+             'plain', '']
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64), "text": texts,
+         "lang": ["en"] * 5, "source": ["t"] * 5,
+         "n_chars": [len(t) for t in texts]}
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    jd = str(tmp_path / "j"); cd = str(tmp_path / "c")
+    write_jsonl_docs(ds, jd)
+    write_csv_docs(ds, cd)
+    for reader, path in [(read_jsonl_docs, jd), (read_csv_docs, cd)]:
+        back = reader(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert back.text.tolist() == texts, path
+        assert back.doc_id.tolist() == list(range(5))
