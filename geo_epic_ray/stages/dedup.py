@@ -1336,13 +1336,17 @@ def exact_substring_dedup(
     ds = ds.materialize()  # dual consumer: gram explode + payload cogroup
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
+        # id dtype preserved (int64 corpus ids OR 'doc-…' string ids —
+        # np.full would truncate strings to a fixed-width U dtype)
+        int_ids = pd.api.types.is_integer_dtype(b[id_col])
+        id_dtype = np.int64 if int_ids else object
         ids, grams, pos = [], [], []
         for did, t in zip(b[id_col].to_numpy(), b[text_col].to_numpy()):
             n = len(t)
             if n < k:
                 continue
             m = n - k + 1
-            ids.append(np.full(m, did, dtype=np.int64))
+            ids.append(np.full(m, did, dtype=id_dtype))
             grams.extend(t[p : p + k] for p in range(m))
             pos.append(np.arange(1, m + 1, dtype=np.int64))
         if not ids:
@@ -1389,7 +1393,7 @@ def exact_substring_dedup(
             # raw doc_id * BIG product wraps int64 for ids >= 2^23 (the
             # CLAUDE.md silent-wrap class) — ranks are bounded by the
             # bucket's row count, and the bound is asserted anyway
-            _, rank = np.unique(d, return_inverse=True)
+            _, rank = np.unique(d, return_inverse=True)  # works for str ids too
             BIG = np.int64(p.max()) + k + 1
             if int(rank[-1] if rank.size else 0) * int(BIG) >= 1 << 62:
                 raise ValueError("substring-dedup bucket too large for island keys")
@@ -1403,10 +1407,10 @@ def exact_substring_dedup(
             e = np.maximum.reduceat(p + k, starts)
             sd = d[starts]
             for j in range(sd.size):
-                spans_of.setdefault(int(sd[j]), []).append((int(s[j]), int(e[j])))
+                spans_of.setdefault(sd[j], []).append((int(s[j]), int(e[j])))
         out_rows = []
         for did, t in zip(docs_df[id_col].to_numpy(), docs_df[text_col].to_numpy()):
-            spans = spans_of.get(int(did))
+            spans = spans_of.get(did)
             if not spans:
                 out_rows.append((did, 0, 0, t))
                 continue
@@ -1424,9 +1428,10 @@ def exact_substring_dedup(
         )
 
     docs_only = ds.select_columns([id_col, text_col])
+    # key_cols bucketer (pandas hash) so STRING doc ids co-route too
     parts_dup, parts_docs = exchange.scatter_pair(
-        dups, exchange.hash_bucket_fn(id_col, n_buckets),
-        docs_only, exchange.hash_bucket_fn(id_col, n_buckets),
+        dups, exchange.key_cols_bucket_fn([id_col], n_buckets),
+        docs_only, exchange.key_cols_bucket_fn([id_col], n_buckets),
         n_buckets,
     )
     empty = pd.DataFrame(

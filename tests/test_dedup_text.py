@@ -385,3 +385,21 @@ def test_exact_substring_dedup_random_vs_bruteforce(ray_session):
         assert r.n_removed == nr, (r.doc_id, r.n_removed, nr)
         assert r.clean_text == clean, (r.doc_id, r.clean_text, clean)
         assert r.n_dup_spans == ns, (r.doc_id, r.n_dup_spans, ns)
+
+
+def test_exact_substring_dedup_string_ids(ray_session):
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import exact_substring_dedup
+
+    boiler = "0123456789abcdefghij"
+    df = pd.DataFrame(
+        {"doc_id": [f"doc-{i:010d}" for i in range(3)],
+         "text": ["A" * 4 + boiler, boiler + "B" * 4, "no repeats here ok?.."]}
+    )
+    out = (
+        exact_substring_dedup(rd.from_pandas(df).repartition(2), k=20, n_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.clean_text.tolist() == ["AAAA", "BBBB", "no repeats here ok?.."]
+    assert out.n_removed.tolist() == [20, 20, 0]
