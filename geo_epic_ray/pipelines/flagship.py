@@ -179,15 +179,36 @@ def run_flagship(
         drop_done, batch_format="pyarrow", fn_kwargs={"finished": frozenset(done)}
     )
 
-    def write_group(g: pa.Table) -> pa.Table:
-        key = g["part_key"][0].as_py()
-        rec = Manifest(out_dir).write_partition(
-            key, g.drop_columns(["part_key"]), input_fingerprint
-        )
-        return pa.table({"part_key": [key], "rows": [rec.row_count], "skipped": [False]})
+    def write_bucket(g: pa.Table) -> pa.Table:
+        # a reduce bucket holds a handful of whole partitions: write each
+        # atomically (same unit as before — partition, not bucket)
+        import pyarrow.compute as pc
 
-    written = (
-        pending.groupby("part_key").map_groups(write_group, batch_format="pyarrow")
+        man = Manifest(out_dir)
+        keys, rows = [], []
+        for key in pc.unique(g["part_key"]).to_pylist():
+            part = g.filter(pc.equal(g["part_key"], key)).drop_columns(["part_key"])
+            rec = man.write_partition(key, part, input_fingerprint)
+            keys.append(key)
+            rows.append(rec.row_count)
+        return pa.table(
+            {"part_key": keys, "rows": rows, "skipped": [False] * len(keys)}
+        )
+
+    write_bucket.wants_arrow = True
+    from ..stages import exchange
+
+    # partition-keyed write on the task exchange (the Dataset groupby paid
+    # the sort shuffle's fixed cost and sorted the full payload)
+    n_wb = 32
+    parts = exchange.scatter(
+        pending, n_wb, exchange.key_cols_bucket_fn(["part_key"], n_wb)
+    )
+    written = exchange.group_map(
+        parts, write_bucket,
+        pd.DataFrame({"part_key": pd.Series([], dtype=str),
+                      "rows": pd.Series([], dtype=np.int64),
+                      "skipped": pd.Series([], dtype=bool)}),
     ).to_pandas()
     skipped = pd.DataFrame(
         {

@@ -1396,7 +1396,26 @@ def session_windows(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    from ..stages import exchange
+
+    # per-user kernels on the task exchange (the Dataset groupby paid the
+    # sort shuffle's fixed cost); the kernel handles a bucket of users
+    parts = exchange.scatter(ds, 32, exchange.hash_bucket_fn("user_id", 32))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [sessionize(u) for _, u in g.groupby("user_id", sort=False)],
+            ignore_index=True,
+        )
+
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype=np.int64),
+         "session_id": pd.Series([], dtype=np.int64),
+         "n_events": pd.Series([], dtype=np.int64),
+         "duration_s": pd.Series([], dtype=np.int64),
+         "sum_value": pd.Series([], dtype=np.float64)}
+    )
+    return exchange.group_map(parts, per_bucket, empty)
 
 
 # --- resumable write through the gate ----------------------------------------
