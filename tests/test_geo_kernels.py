@@ -197,3 +197,39 @@ def test_lattice_knn_matches_generic_and_bruteforce():
     # factory falls back to the generic index and stays exact
     fb = build_knn_index(gid[:100], glat[:100], glon[:100])
     assert type(fb).__name__ == "KnnIndex"
+
+
+def test_lattice_knn_southern_hemisphere_exact():
+    # Regression (ADVICE r4): the cos(lat) margin row must be on the
+    # POLEWARD side of the searchsorted bracket, which for a
+    # southern-hemisphere lattice (negative, increasing lats) is the
+    # LOW-index side. Brute-force equality over a dense query set.
+    from geo_epic_ray.geo.haversine import haversine_km
+    from geo_epic_ray.geo.knn import build_knn_index
+
+    nrows, ncols = 40, 30
+    row_lats = -39.0 + 0.1 * np.arange(nrows)   # -39 .. -35.1 (increasing)
+    col_lons = 140.0 + 0.125 * np.arange(ncols)
+    glat = np.repeat(row_lats, ncols)
+    glon = np.tile(col_lons, nrows)
+    gid = np.arange(nrows * ncols, dtype=np.int64)
+    idx = build_knn_index(gid, glat, glon)
+    assert type(idx).__name__ == "LatticeKnn"
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    qlat = rng.uniform(row_lats[0] - 0.2, row_lats[-1] + 0.2, n)
+    qlon = rng.uniform(col_lons[0] - 0.2, col_lons[-1] + 0.2, n)
+    # row midpoints: exactly where the one-sided margin failed
+    qlat[:200] = np.repeat((row_lats[:-1] + row_lats[1:]) / 2, 6)[:200]
+    # far off the lon extent: the poleward shift spans many rows and the
+    # guard must route these through the exact all-rows scan
+    qlon[200:400] = col_lons[0] - rng.uniform(1.0, 20.0, 200)
+    qlon[400:600] = col_lons[-1] + rng.uniform(1.0, 20.0, 200)
+    got_id, got_d = idx.query(qlat, qlon)
+    for i in range(n):
+        d_all = haversine_km(
+            np.full(gid.size, qlat[i]), np.full(gid.size, qlon[i]), glat, glon
+        )
+        want = gid[np.lexsort((gid, d_all))[0]]
+        assert got_id[i] == want, i
