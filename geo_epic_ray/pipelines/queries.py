@@ -605,9 +605,10 @@ from . import queries_ext4 as _queries_ext4  # noqa: E402,F401
 # core (unchanged, positions 1-6) + the hardest components; every query keeps
 # its implementation and oracle, ALL still run under scripts/check_oracles.py.
 _WINDOW_PRIORITY = [
-    # geo core — keep the long-lived window positions 1-6
+    # geo core — keep the long-lived window positions 1-6; geo_knn_k3 is
+    # the round-5 k>1 kNN gate (exact-haversine oracle)
     "geo_pip_soil", "geo_knn_weather", "geo_tile_assign", "geo_enrich_full",
-    "geo_tile_zonal", "geo_cell_count",
+    "geo_tile_zonal", "geo_cell_count", "geo_knn_k3",
     # flagship write/resume + hardest dedup/text components (post-r2)
     "flagship_write_resume", "substring_dedup", "semdedup_keep",
     "curation_end_to_end", "pq_topk_cosine", "dedup_components",
@@ -626,7 +627,7 @@ _WINDOW_PRIORITY = [
     "regex_redact", "word_repetition_score", "length_band_filter",
     "hll_distinct_per_type", "grouped_quantiles_tdigest", "cms_token_counts",
     "pivot_lang_counts", "rolling_daily_events", "top_orders_per_customer",
-    "funnel_stage_times", "campaign_window_stats",
+    "funnel_stage_times",
 ]
 
 

@@ -1561,3 +1561,85 @@ def csv_roundtrip(sf_dir: str):
     delimiters; test_textio_special_chars exercises quoting/newlines
     explicitly."""
     return _textio_roundtrip(sf_dir, "csv")
+
+
+# --- k-NN with k>1: exact 3-nearest weather grid points ----------------------
+
+def _knn_k3_sql() -> str:
+    """Exact 3-NN oracle: true-haversine (squared-chord) ranking over a
+    5x5 index window around the query's floor cell. Sufficiency: the
+    3rd-nearest lattice point lies within one cell diagonal of the query
+    (the 4 cell corners are candidates), and diagonal < 2*min(dlat,
+    dlon*cos(lat)) holds for this grid's aspect ratio, so every point
+    outside the +/-2 window is strictly farther. Ties break to the lowest
+    grid_id, matching geo.knn.KnnIndex.query_k (reference find_nearest(k),
+    geoEpic/utils/raster_utils.py:16-30)."""
+    from ..geo import extent
+    from ..geo.extent import doc_point_sql
+
+    lat, lon = doc_point_sql("doc_id")
+    s = extent.WEATHER_STEP_DEG
+    nrows, ncols = extent.WEATHER_NROWS, extent.WEATHER_NCOLS
+    return f"""
+WITH pts AS (SELECT doc_id, {lat} AS qlat, {lon} AS qlon FROM documents),
+cand AS (
+  SELECT DISTINCT doc_id, qlat, qlon,
+         least(greatest(CAST(floor((qlat - {extent.LAT0}) / {s}) AS BIGINT) + dr.d, 0), {nrows - 1}) AS r,
+         least(greatest(CAST(floor((qlon - {extent.LON0}) / {s}) AS BIGINT) + dc.d, 0), {ncols - 1}) AS c
+  FROM pts,
+       (SELECT unnest([-2, -1, 0, 1, 2]) AS d) dr,
+       (SELECT unnest([-2, -1, 0, 1, 2]) AS d) dc
+),
+scored AS (
+  SELECT doc_id, r * {ncols} + c AS grid_id,
+         pow(sin(radians(qlat - ({extent.LAT0} + r * {s})) / 2), 2)
+         + cos(radians(qlat)) * cos(radians({extent.LAT0} + r * {s}))
+           * pow(sin(radians(qlon - ({extent.LON0} + c * {s})) / 2), 2) AS chord
+  FROM cand
+),
+ranked AS (
+  SELECT doc_id, grid_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY chord, grid_id) AS k_rank
+  FROM scored
+)
+SELECT doc_id, k_rank, grid_id FROM ranked WHERE k_rank <= 3
+"""
+
+
+@register("geo_knn_k3", _knn_k3_sql())
+def geo_knn_k3(sf_dir: str):
+    """3-nearest weather grid points per doc (k>1 path: the ring-guarantee
+    KnnIndex.query_k, which LatticeKnn delegates to), exploded to one row
+    per (doc, rank). Worker-cached index build — the grid fixture is
+    deterministic, so no broadcast is needed."""
+    import pyarrow as pa
+
+    from .queries import _docs
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        from ..fixtures.weather import weather_grid_table
+        from ..geo import extent
+        from ..geo.knn import build_knn_index
+        from ..state.worker_cache import get_or_build
+
+        def build():
+            g = weather_grid_table()
+            return build_knn_index(
+                g["grid_id"].to_numpy(), g["lat"].to_numpy(), g["lon"].to_numpy()
+            )
+
+        idx = get_or_build("knn_k3_weather_grid", build)
+        did = batch["doc_id"].to_numpy()
+        lat, lon = extent.doc_point(did)
+        gid, _ = idx.query_k(lat, lon, 3)
+        return pa.table(
+            {
+                "doc_id": np.repeat(did, 3),
+                "k_rank": np.tile(np.arange(1, 4, dtype=np.int64), did.size),
+                "grid_id": gid.reshape(-1),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")

@@ -199,6 +199,60 @@ def test_lattice_knn_matches_generic_and_bruteforce():
     assert type(fb).__name__ == "KnnIndex"
 
 
+def test_query_k3_ties_at_cell_boundaries():
+    # k=3 with crafted knife-edge queries: grid points, row/col midpoints,
+    # and cell centers (near-4-way-equidistant corners). The brute force
+    # uses the ENGINE's own metric (arccos of the xyz dot) — grid coords
+    # LON0 + i*step make "equidistant" neighbors differ at the 1e-17
+    # level, so cross-formula orderings are inherently formula-dependent;
+    # the invariant is candidate-machinery == full scan under one metric,
+    # ties to the lowest grid_id.
+    from geo_epic_ray.fixtures.weather import weather_grid_table
+    from geo_epic_ray.geo.knn import _unit_xyz, build_knn_index
+
+    g = weather_grid_table()
+    gid = g["grid_id"].to_numpy()
+    glat = g["lat"].to_numpy()
+    glon = g["lon"].to_numpy()
+    idx = build_knn_index(gid, glat, glon)
+    step_lat = glat[np.flatnonzero(glat != glat[0])[0]] - glat[0]
+    step_lon = glon[1] - glon[0]
+
+    qlat = np.concatenate([
+        glat[:80],                      # exact grid points
+        glat[:80] + step_lat / 2,       # row midpoints
+        glat[:80],                      # col midpoints (lat on row)
+        glat[:80] + step_lat / 2,       # cell centers
+    ])
+    qlon = np.concatenate([
+        glon[:80],
+        glon[:80],
+        glon[:80] + step_lon / 2,
+        glon[:80] + step_lon / 2,
+    ])
+    got_id, got_d = idx.query_k(qlat, qlon, 3)
+    gxyz = _unit_xyz(glat, glon)
+    qxyz = _unit_xyz(qlat, qlon)
+    # 1 mm: arccos amplifies 1e-16 dot noise to ~1e-9 km at km-scale
+    # distances; 1e-6 km is safely above noise, far below ~5 km spacing
+    tol = 1e-6
+    for i in range(qlat.size):
+        d_all = 6371.0088 * np.arccos(np.clip(gxyz @ qxyz[i], -1.0, 1.0))
+        third = np.partition(d_all, 2)[2]
+        # every returned id is a genuine top-3 point (within float noise)
+        by_id = {int(g): d for g, d in zip(gid, d_all)}
+        assert all(by_id[int(g)] <= third + tol for g in got_id[i]), i
+        assert got_id[i].size == np.unique(got_id[i]).size  # no duplicates
+        # engine distances are sorted; exact engine ties break to low gid
+        assert (np.diff(got_d[i]) >= 0).all(), i
+        for a in range(2):
+            if got_d[i][a] == got_d[i][a + 1]:
+                assert got_id[i][a] < got_id[i][a + 1], i
+    # determinism: a second call returns the identical ranking
+    again_id, again_d = idx.query_k(qlat, qlon, 3)
+    np.testing.assert_array_equal(got_id, again_id)
+
+
 def test_lattice_knn_southern_hemisphere_exact():
     # Regression (ADVICE r4): the cos(lat) margin row must be on the
     # POLEWARD side of the searchsorted bracket, which for a
