@@ -618,16 +618,16 @@ _WINDOW_PRIORITY = [
     "bigram_perplexity", "ntile_length_quartiles", "left_join_order_history",
     "event_gap_stats", "session_windows", "asof_last_purchase",
     "dedup_keep_canonical", "dedup_clusters_blocked", "kmeans_embeddings",
-    # multimodal codecs + span invariants
-    "multimodal_audio_stats", "multimodal_video_framesample",
-    "multimodal_decode_resize", "multimodal_feature_ann", "profile_lai",
+    # multimodal codecs + span invariants (incl. the round-5 JPEG gate)
+    "multimodal_jpeg_decode", "multimodal_audio_stats",
+    "multimodal_video_framesample", "multimodal_decode_resize",
+    "multimodal_feature_ann", "profile_lai",
     "span_roundtrip", "span_kind_stats",
     # curation/window/sketch stages added after the r2 window froze
     "sequence_pack_bins", "source_mix_weighted", "shuffle_train_order",
     "regex_redact", "word_repetition_score", "length_band_filter",
     "hll_distinct_per_type", "grouped_quantiles_tdigest", "cms_token_counts",
     "pivot_lang_counts", "rolling_daily_events", "top_orders_per_customer",
-    "funnel_stage_times",
 ]
 
 

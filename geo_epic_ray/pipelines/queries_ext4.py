@@ -12,6 +12,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from .queries import register
@@ -1643,3 +1644,76 @@ def geo_knn_k3(sf_dir: str):
         )
 
     return ds.map_batches(q, batch_format="pyarrow")
+
+
+# --- multimodal: baseline JPEG decode ----------------------------------------
+
+def _mm_jpeg_sql(n_refs: int = 150, seed: int = 42) -> str:
+    """Oracle for the JPEG decode gate. JPEG is LOSSY, so the pixel-exact
+    replay the PNG/BMP gates use is impossible by construction; this
+    oracle hash-verifies what IS analytically replayable — the decoded
+    dimensions (the synth dims draws) — plus the within-tolerance flag
+    the engine computes by comparing decoded pixels against the
+    regenerated source (deterministic, so the flag is stable). Decode
+    ACCURACY itself is proven by tests/test_jpeg.py's round-trip error
+    bounds; this gate proves the Ray plumbing end to end."""
+    from . import oracle_sql as osql
+
+    h_h, c_h = osql.hash_u64_cols("i", seed, 95, "mh")
+    h_w, c_w = osql.hash_u64_cols("i", seed, 96, "mw")
+    return f"""
+WITH refs AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_refs})),
+dims AS (SELECT i, {h_h}, {h_w},
+                6 + CAST({c_h} % 6 AS BIGINT) AS height,
+                6 + CAST({c_w} % 6 AS BIGINT) AS width
+         FROM refs)
+SELECT 'jpg-' || lpad(CAST(i AS VARCHAR), 5, '0') AS media_ref,
+       height, width, TRUE AS within_tol
+FROM dims
+"""
+
+
+@register("multimodal_jpeg_decode", _mm_jpeg_sql())
+def multimodal_jpeg_decode(sf_dir: str):
+    """Baseline-JPEG decode end to end with the REAL codec
+    (stages/jpeg.py): payloads are byte-valid sequential-DCT JPEGs
+    (quality 95, 4:4:4, optimized Huffman tables) of the deterministic
+    synth pixels; ImageDecode sniffs and decodes them in the actor pool,
+    and each image's decoded pixels are compared against the regenerated
+    source — within_tol asserts max |err| <= 48, far below the 255 range
+    but above the q95 quantization noise (measured max 17 on noise
+    images; tests/test_jpeg.py pins tighter bounds)."""
+    from ..stages.multimodal import ImageDecode, hash_u64, synth_image_table
+
+    refs = [f"jpg-{i:05d}" for i in range(150)]
+    media = synth_image_table(refs, fmt="jpeg")
+    decoded = rd.from_arrow(media).repartition(4).map_batches(
+        ImageDecode, batch_format="pyarrow", batch_size=64, concurrency=2,
+        fn_constructor_kwargs={"fake": False},
+    )
+
+    def check(b: pa.Table) -> pa.Table:
+        hs = b["height"].to_numpy(zero_copy_only=False)
+        ws = b["width"].to_numpy(zero_copy_only=False)
+        refs_ = b["media_ref"].to_pylist()
+        pix = b["pixels"].combine_chunks()
+        ok = np.empty(len(refs_), dtype=bool)
+        for j, r in enumerate(refs_):
+            i = int(r.split("-")[1])
+            h, w = int(hs[j]), int(ws[j])
+            src = (
+                (hash_u64(np.arange(h * w * 3) + i * 100003, 42, 97) % 256)
+                .astype(np.int64)
+            )
+            dec = np.frombuffer(pix[j].as_buffer(), dtype=np.uint8).astype(np.int64)
+            ok[j] = dec.size == src.size and np.abs(dec - src).max() <= 48
+        return pa.table(
+            {
+                "media_ref": pa.array(refs_, pa.string()),
+                "height": pa.array(hs),
+                "width": pa.array(ws),
+                "within_tol": pa.array(ok),
+            }
+        )
+
+    return decoded.map_batches(check, batch_format="pyarrow")

@@ -174,14 +174,19 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Sniff the magic bytes and decode: PNG or BMP -> (h, w, c) uint8."""
+    """Sniff the magic bytes and decode: PNG, BMP or baseline JPEG ->
+    (h, w, c) uint8."""
     if buf[:8] == PNG_SIG:
         return decode_png(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     raise NotImplementedError(
-        "unrecognized image format (PNG and 24-bit BMP decode in-sandbox; "
-        "other codecs need an image library)"
+        "unrecognized image format (PNG, 24-bit BMP and baseline JPEG "
+        "decode in-sandbox; other codecs need an image library)"
     )
 
 

@@ -52,9 +52,10 @@ def synth_media_table(refs: list[str], kinds: list[str], seed: int = 42) -> pa.T
 
 
 def synth_image_table(refs: list[str], seed: int = 42, fmt: str = "mixed") -> pa.Table:
-    """REAL encoded image payloads (PNG / 24-bit BMP, deterministic
-    pixels) for exercising the real decode path in-sandbox. ``fmt``:
-    "png", "bmp", or "mixed" (alternating)."""
+    """REAL encoded image payloads (PNG / 24-bit BMP / baseline JPEG,
+    deterministic pixels) for exercising the real decode path in-sandbox.
+    ``fmt``: "png", "bmp", "jpeg" (quality 95, 4:4:4), "mixed"
+    (PNG/BMP alternating), or "mixed3" (PNG/BMP/JPEG rotating)."""
     from .codecs import encode_bmp, encode_png
 
     payloads = []
@@ -68,8 +69,14 @@ def synth_image_table(refs: list[str], seed: int = 42, fmt: str = "mixed") -> pa
             .astype(np.uint8)
             .reshape(h, w, 3)
         )
-        use_png = fmt == "png" or (fmt == "mixed" and i % 2 == 0)
-        payloads.append(encode_png(img) if use_png else encode_bmp(img))
+        if fmt == "jpeg" or (fmt == "mixed3" and i % 3 == 2):
+            from .jpeg import encode_jpeg
+
+            payloads.append(encode_jpeg(img, quality=95, subsampling="4:4:4"))
+        elif fmt == "png" or (fmt in ("mixed", "mixed3") and i % 2 == 0):
+            payloads.append(encode_png(img))
+        else:
+            payloads.append(encode_bmp(img))
     return pa.table(
         {
             "media_ref": pa.array(list(refs), pa.string()),
@@ -159,10 +166,11 @@ class ImageDecode:
     — batch_size SMALL because decoded rows are wide (the guide's
     memory-aware rule).
 
-    Real path: PNG (8-bit RGB/RGBA) and 24-bit BMP via the pure-stdlib
-    codecs (stages/codecs.py, pixel-exact tests); sniffed per payload by
-    magic bytes, so mixed-format corpora decode in one stage. Other
-    formats raise NotImplementedError (no image libraries in-sandbox).
+    Real path: PNG (8-bit RGB/RGBA), 24-bit BMP and baseline JPEG via
+    the pure-stdlib codecs (stages/codecs.py, stages/jpeg.py); sniffed
+    per payload by magic bytes, so mixed-format corpora decode in one
+    stage. Other formats raise NotImplementedError (no image libraries
+    in-sandbox).
     ``fake=True`` keeps the deterministic stand-in (fast, codec-free)."""
 
     def __init__(self, fake: bool = False):
