@@ -106,13 +106,36 @@ def run_headline() -> dict:
         return time.perf_counter() - t0, len(df)
 
     one_run()  # warmup (worker spawn + page cache)
-    runs = [one_run() for _ in range(N_RUNS)]
-    dt = min(r[0] for r in runs)
+    # Contention-robust protocol (VERDICT r4 item 7): this host's ambient
+    # load swings 2-25, and a fixed 3-run window can land entirely inside
+    # a contended patch (driver r4 recorded 15.7s where near-idle windows
+    # measure 7-9s). Sample MORE windows when the runs disagree: run at
+    # least N_RUNS, then keep going (up to 2x+1) while the observed
+    # max/min spread exceeds 25%. Report best (the steady-state figure),
+    # median (the honest typical figure) and per-run load1 so a contended
+    # record is self-explaining.
+    runs = []
+    loads = []
+    while len(runs) < 2 * N_RUNS + 1:
+        loads.append(round(os.getloadavg()[0], 2))
+        runs.append(one_run())
+        if len(runs) >= N_RUNS:
+            secs_so_far = [r[0] for r in runs]
+            spread = (max(secs_so_far) - min(secs_so_far)) / min(secs_so_far)
+            if spread <= 0.25:  # stable window — done
+                break
+            # noisy window: keep sampling (up to the cap) for a clean one
+    secs = sorted(r[0] for r in runs)
+    dt = secs[0]
+    med = secs[len(secs) // 2]
     return {
         "sec": dt,
         "docs_per_sec": N_DOCS / dt,
+        "sec_median": round(med, 3),
+        "docs_per_sec_median": round(N_DOCS / med, 1),
         "n_tiles": runs[0][1],
         "all_runs_sec": [round(r[0], 3) for r in runs],
+        "load1_per_run": loads,
     }
 
 

@@ -119,8 +119,17 @@ class Scattered(list):
     bucket_rows: np.ndarray
 
 
+@ray.remote
+def _combine_task(*parts: pa.Table) -> pa.Table:
+    return _concat(parts)
+
+
 def scatter(
-    ds: rd.Dataset, n_buckets: int, bucket_fn: BucketFn
+    ds: rd.Dataset,
+    n_buckets: int,
+    bucket_fn: BucketFn,
+    *,
+    wave_combine: int | None = None,
 ) -> "Scattered":
     """Split every block of ``ds`` into hash buckets, STREAMING: blocks
     are consumed as the upstream plan produces them, so scattering
@@ -128,7 +137,22 @@ def scatter(
     the moment its scatter task completes (the task's dependency ref is
     the only one left after this loop drops the bundle). Returns, per
     bucket, the refs of its non-empty partitions (deterministic block
-    order). The only driver sync is the per-block counts vector."""
+    order). The only driver sync is the per-block counts vector.
+
+    Driver-memory budget (measured, scripts/measure_exchange_refs.py):
+    the default path holds n_blocks x (n_buckets + 1) ObjectRefs at
+    ~1 KB of driver RSS each — 153 MB at 2.5k blocks x 32 buckets,
+    1.34 GB at 40k x 32, linear. Fine through ~2x10^4 input blocks; a
+    100-TB run with 10^5-10^6 blocks must pass ``wave_combine=W``
+    (two-level scatter): blocks are processed in waves of W, each wave's
+    per-bucket partitions are concatenated by one combine task, and the
+    driver keeps only the combined ref — steady-state refs become
+    n_buckets x ceil(n_blocks / W) + one in-flight wave, at the cost of
+    each byte crossing the object store one extra time (the classic
+    two-level-shuffle trade). Measured at 40k blocks x 32 buckets,
+    W=128: 1.34 GB -> ~100 MB driver RSS delta."""
+    if wave_combine is not None and wave_combine > 0:
+        return _scatter_waved(ds, n_buckets, bucket_fn, wave_combine)
     scattered = [
         _scatter_task.options(num_returns=n_buckets + 1).remote(
             r, bucket_fn, n_buckets
@@ -145,6 +169,51 @@ def scatter(
         for b in range(n_buckets)
     )
     out.bucket_rows = np.sum(np.stack(counts), axis=0).astype(np.int64)
+    return out
+
+
+def _scatter_waved(
+    ds: rd.Dataset, n_buckets: int, bucket_fn: BucketFn, wave: int
+) -> "Scattered":
+    """Two-level scatter (see :func:`scatter`): per-wave per-bucket
+    combine bounds the driver's ref count at n_buckets x n_waves plus
+    one in-flight wave. The per-wave counts sync doubles as scatter
+    throttling (at most ``wave`` scatter tasks in flight)."""
+    out_parts: list[list[ray.ObjectRef]] = [[] for _ in range(n_buckets)]
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    pending: list = []
+
+    def flush() -> None:
+        nonlocal totals
+        if not pending:
+            return
+        counts = ray.get([s[0] for s in pending])
+        for b in range(n_buckets):
+            plist = [
+                pending[i][1 + b]
+                for i in range(len(pending))
+                if counts[i][b] > 0
+            ]
+            if not plist:
+                continue
+            if len(plist) == 1:
+                out_parts[b].append(plist[0])
+            else:
+                out_parts[b].append(_combine_task.remote(*plist))
+        totals += np.sum(np.stack(counts), axis=0).astype(np.int64)
+        pending.clear()
+
+    for r in iter_block_refs(ds):
+        pending.append(
+            _scatter_task.options(num_returns=n_buckets + 1).remote(
+                r, bucket_fn, n_buckets
+            )
+        )
+        if len(pending) >= wave:
+            flush()
+    flush()
+    out = Scattered(out_parts)
+    out.bucket_rows = totals
     return out
 
 

@@ -241,8 +241,11 @@ def _stretch_middle(df, new_plant_date, new_harvest_date, crop_code):
         [new_plant_date + timedelta(days=int(d)) for d in (scale * new).astype(int)],
         index=mid.index,
     )
-    df.loc[mid.index, "Mn"] = [d.month for d in nd]
-    df.loc[mid.index, "Dy"] = [d.day for d in nd]
+    # assign in the columns' own dtype (int32 from the fixed-width reader):
+    # a bare Python list upcasts and trips pandas' incompatible-dtype
+    # FutureWarning (an error in pandas 3)
+    df.loc[mid.index, "Mn"] = np.array([d.month for d in nd], dtype=df["Mn"].dtype)
+    df.loc[mid.index, "Dy"] = np.array([d.day for d in nd], dtype=df["Dy"].dtype)
     df.loc[mid.index, "date"] = nd
     return df
 

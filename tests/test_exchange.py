@@ -196,6 +196,34 @@ def test_group_map_bucket_guardrail_splits_hot_bucket(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_scatter_wave_combine_equals_default(ray_session):
+    # two-level scatter: identical group_map results and bucket_rows,
+    # bounded driver refs (n_buckets x n_waves instead of n_blocks x
+    # n_buckets)
+    df = _df(6000, seed=5)
+    ds = rd.from_pandas(df).repartition(23)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    base = exchange.scatter(ds, 8, exchange.key_cols_bucket_fn(["k"], 8))
+    for w in (1, 4, 100):  # waves smaller, mid, larger than block count
+        parts = exchange.scatter(
+            ds, 8, exchange.key_cols_bucket_fn(["k"], 8), wave_combine=w
+        )
+        np.testing.assert_array_equal(parts.bucket_rows, base.bucket_rows)
+        n_waves = -(-23 // w)
+        assert all(len(p) <= n_waves for p in parts)
+        got = (
+            exchange.group_map(parts, agg, empty)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_salted_rebucket_decorrelated_from_outer_hash():
     # Regression for the affine-salt bug (ADVICE r4): with power-of-two
     # n_buckets, rows sharing an outer bucket must NOT all land in one
