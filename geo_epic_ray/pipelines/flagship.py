@@ -132,8 +132,14 @@ def run_flagship(
     concurrency: int | tuple[int, int] | None = None,
     target_rows: int = 500_000,
     salt_sample_fraction: float | None = None,
+    write_mode: str = "exchange",
 ) -> pd.DataFrame:
     """Enrich + salted partitioning + resumable partitioned write.
+
+    ``write_mode``: ``"exchange"`` (default) routes the partition-keyed
+    write through the task exchange; ``"groupby"`` keeps the Dataset
+    sort-shuffle form — retained for the measured A/B (BASELINE.md r5),
+    same atomic partition-unit semantics.
 
     Returns the per-partition write report (part_key, rows, skipped flag).
     """
@@ -211,20 +217,29 @@ def run_flagship(
         )
 
     write_bucket.wants_arrow = True
-    from ..stages import exchange
+    if write_mode == "groupby":
+        # the pre-r4 form: Dataset sort-shuffle on part_key, one group
+        # (= one whole partition) per map_groups call
+        written = (
+            pending.groupby("part_key")
+            .map_groups(write_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+    else:
+        from ..stages import exchange
 
-    # partition-keyed write on the task exchange (the Dataset groupby paid
-    # the sort shuffle's fixed cost and sorted the full payload)
-    n_wb = 32
-    parts = exchange.scatter(
-        pending, n_wb, exchange.key_cols_bucket_fn(["part_key"], n_wb)
-    )
-    written = exchange.group_map(
-        parts, write_bucket,
-        pd.DataFrame({"part_key": pd.Series([], dtype=str),
-                      "rows": pd.Series([], dtype=np.int64),
-                      "skipped": pd.Series([], dtype=bool)}),
-    ).to_pandas()
+        # partition-keyed write on the task exchange (the Dataset groupby
+        # paid the sort shuffle's fixed cost and sorted the full payload)
+        n_wb = 32
+        parts = exchange.scatter(
+            pending, n_wb, exchange.key_cols_bucket_fn(["part_key"], n_wb)
+        )
+        written = exchange.group_map(
+            parts, write_bucket,
+            pd.DataFrame({"part_key": pd.Series([], dtype=str),
+                          "rows": pd.Series([], dtype=np.int64),
+                          "skipped": pd.Series([], dtype=bool)}),
+        ).to_pandas()
     skipped = pd.DataFrame(
         {
             "part_key": pd.Series(list(done), dtype=str),

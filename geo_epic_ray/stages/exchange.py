@@ -141,16 +141,20 @@ def scatter(
 
     Driver-memory budget (measured, scripts/measure_exchange_refs.py):
     the default path holds n_blocks x (n_buckets + 1) ObjectRefs at
-    ~1 KB of driver RSS each — 153 MB at 2.5k blocks x 32 buckets,
-    1.34 GB at 40k x 32, linear. Fine through ~2x10^4 input blocks; a
-    100-TB run with 10^5-10^6 blocks must pass ``wave_combine=W``
-    (two-level scatter): blocks are processed in waves of W, each wave's
-    per-bucket partitions are concatenated by one combine task, and the
-    driver keeps only the combined ref — steady-state refs become
-    n_buckets x ceil(n_blocks / W) + one in-flight wave, at the cost of
-    each byte crossing the object store one extra time (the classic
-    two-level-shuffle trade). Measured at 40k blocks x 32 buckets,
-    W=128: 1.34 GB -> ~100 MB driver RSS delta."""
+    ~1.5 KB of driver RSS each — 151 MB at 2.5k blocks x 32 buckets,
+    478 MB at 10k, 1.99 GB at 40k: linear. Fine through ~10^4 input
+    blocks; a 100-TB run with 10^5-10^6 blocks must pass
+    ``wave_combine=W`` (two-level scatter): blocks are processed in
+    waves of W, each wave's per-bucket partitions are concatenated by
+    one combine task, and the driver keeps only the combined ref —
+    steady-state refs become n_buckets x ceil(n_blocks / W) + one
+    in-flight wave, at the cost of each byte crossing the object store
+    one extra time (the classic two-level-shuffle trade). Measured at
+    40k blocks x 32 buckets, W=128: driver RSS delta 1,986 MB -> 17.7
+    MB (112x), reduce 13.2s -> 0.8s (combines pre-merged), scatter
+    76 -> 107s (the per-wave counts sync serializes submission) —
+    ~20% slower end-to-end at this scale, and the only shape that
+    survives past it."""
     if wave_combine is not None and wave_combine > 0:
         return _scatter_waved(ds, n_buckets, bucket_fn, wave_combine)
     scattered = [

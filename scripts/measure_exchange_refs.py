@@ -9,8 +9,9 @@ scatter into 32 buckets, then reduce (count per bucket). Records:
 - scatter wall (submission + counts sync) and reduce wall
 - refs held = N x (n_buckets + 1)
 
-Usage: python scripts/measure_exchange_refs.py [N ...]
-  (default 2500 10000 20000 40000)
+Usage: python scripts/measure_exchange_refs.py [--wave W] [N ...]
+  (default 2500 10000 20000 40000; --wave W measures the two-level
+  scatter path instead — the 100-TB mitigation)
 """
 
 from __future__ import annotations
@@ -48,7 +49,13 @@ def main():
     from geo_epic_ray.stages import exchange
 
     n_buckets = 32
-    sizes = [int(x) for x in sys.argv[1:]] or [2500, 10000, 20000, 40000]
+    argv = sys.argv[1:]
+    wave = None
+    if "--wave" in argv:
+        i = argv.index("--wave")
+        wave = int(argv[i + 1])
+        del argv[i : i + 2]
+    sizes = [int(x) for x in argv] or [2500, 10000, 20000, 40000]
     out = []
     for n_blocks in sizes:
         # tiny blocks: 8 rows each — the point is ref count, not data
@@ -59,7 +66,8 @@ def main():
         r0 = rss_mb()
         t0 = time.perf_counter()
         parts = exchange.scatter(
-            ds, n_buckets, exchange.key_cols_bucket_fn(["k"], n_buckets)
+            ds, n_buckets, exchange.key_cols_bucket_fn(["k"], n_buckets),
+            wave_combine=wave,
         )
         t_scatter = time.perf_counter() - t0
         gc.collect()
@@ -75,10 +83,16 @@ def main():
         t_reduce = time.perf_counter() - t1
         del parts, ds
         gc.collect()
+        n_waves = 1 if wave is None else -(-n_blocks // wave)
         out.append(
             {
                 "n_blocks": n_blocks,
-                "refs_held": n_blocks * (n_buckets + 1),
+                "wave": wave,
+                "refs_held": (
+                    n_blocks * (n_buckets + 1)
+                    if wave is None
+                    else n_buckets * n_waves + wave * (n_buckets + 1)
+                ),
                 "driver_rss_delta_mb": round(r1 - r0, 1),
                 "scatter_sec": round(t_scatter, 2),
                 "reduce_sec": round(t_reduce, 2),

@@ -1,0 +1,207 @@
+"""Scale-smoke the dedup/text heavies at 10x-100x gate size with peak-RSS
+tracking (VERDICT r4 item 4): the bucket-size guardrail and the
+posting-list/pair-bucket designs have oracle gates at 5k docs; this runs
+them at 100k-1M synthetic docs and records wall time plus peak resident
+memory (driver and all ray:: workers) so sub-linear memory is evidenced,
+not asserted.
+
+Corpus: word-salad docs (40 words from a 4k vocab) with planted structure
+the heavies actually exercise — every 10th doc near-duplicates its
+predecessor (one word changed: minhash/ngram/jaccard candidates), every
+23rd is an exact dup (components/exact paths), and 5% of docs share one
+hot 12-word boilerplate chunk (boilerplate removal + skew). Embeddings:
+64-dim clustered Gaussians (16 clusters) for semdedup.
+
+Usage: python scripts/scale_smoke.py [query ...]
+  GRAFT_SMOKE_DOCS (default 500000), GRAFT_SMOKE_DIR (default
+  /tmp/graft_smoke_<n>).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("GRAFT_SMOKE_DOCS", "500000"))
+SMOKE_DIR = os.environ.get("GRAFT_SMOKE_DIR", f"/tmp/graft_smoke_{N_DOCS}")
+
+HEAVIES = [
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "substring_dedup",
+    "boilerplate_chunk_removal",
+    "dedup_components",
+    "semdedup_keep",
+]
+
+
+def _proc_rss_kb(pid: str) -> int:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def _is_ray_worker(pid: str) -> bool:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmd = f.read()
+        return b"ray::" in cmd or b"raylet" in cmd or b"plasma" in cmd
+    except OSError:
+        return False
+
+
+class RssSampler(threading.Thread):
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.stop_ev = threading.Event()
+        self.peak_total_kb = 0
+        self.peak_driver_kb = 0
+        self.me = str(os.getpid())
+
+    def run(self):
+        while not self.stop_ev.is_set():
+            drv = _proc_rss_kb(self.me)
+            total = drv
+            for pid in os.listdir("/proc"):
+                if pid.isdigit() and pid != self.me and _is_ray_worker(pid):
+                    total += _proc_rss_kb(pid)
+            self.peak_driver_kb = max(self.peak_driver_kb, drv)
+            self.peak_total_kb = max(self.peak_total_kb, total)
+            time.sleep(0.2)
+
+
+def build_corpus() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = os.path.join(SMOKE_DIR, "_OK")
+    if os.path.exists(marker):
+        return
+    os.makedirs(f"{SMOKE_DIR}/documents.parquet", exist_ok=True)
+    os.makedirs(f"{SMOKE_DIR}/embeddings.parquet", exist_ok=True)
+    from geo_epic_ray.fixtures.rng import randint
+
+    vocab = np.array([f"w{i:04d}" for i in range(4000)])
+    boiler = " ".join(f"b{i}" for i in range(12))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        # base doc of id i derives from i, near-dups (i%10==9) from i-1
+        # with the LAST word replaced, exact dups (i%23==22) from i-1
+        base = ids.copy()
+        near = ids % 10 == 9
+        exact = ids % 23 == 22
+        base[near | exact] = ids[near | exact] - 1
+        words = vocab[randint(
+            (base[:, None] * np.int64(40) + np.arange(40)[None, :]).reshape(-1),
+            7, 1, 0, len(vocab),
+        )].reshape(ids.size, 40)
+        words[near, -1] = "changed"
+        texts = np.array([" ".join(row) for row in words], dtype=object)
+        hot = randint(ids, 7, 2, 0, 20) == 0  # 5% carry the hot chunk
+        texts[hot & ~exact] = texts[hot & ~exact] + " " + boiler
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pa.array(texts.tolist(), pa.string()),
+                "lang": pa.array(
+                    np.array(["en", "de", "fr", "es"])[
+                        randint(ids, 7, 3, 0, 4)
+                    ].tolist()
+                ),
+                "source": pa.array(
+                    np.array(["web", "books", "code"])[
+                        randint(ids, 7, 4, 0, 3)
+                    ].tolist()
+                ),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], dtype=np.int64)
+                ),
+            }
+        )
+
+    rd.range(N_DOCS, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow", batch_size=32768
+    ).write_parquet(f"{SMOKE_DIR}/documents.parquet")
+
+    n_vec = max(1000, N_DOCS // 5)
+    dim, k = 64, 16
+
+    def gen_emb(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        lab = (ids % k).astype(np.int32)
+        rng_mat = (
+            randint(
+                (ids[:, None] * np.int64(dim) + np.arange(dim)[None, :]).reshape(-1),
+                9, 1, 0, 2001,
+            ).reshape(ids.size, dim)
+            / 1000.0
+            - 1.0
+        )
+        centroid = np.cos(
+            (lab[:, None] + 1) * (np.arange(dim)[None, :] + 1) * 0.37
+        ) * 4.0
+        emb = (centroid + rng_mat).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+                "label": pa.array(lab),
+            }
+        )
+
+    rd.range(n_vec, override_num_blocks=16).map_batches(
+        gen_emb, batch_format="pyarrow", batch_size=16384
+    ).write_parquet(f"{SMOKE_DIR}/embeddings.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def main():
+    import ray
+
+    ray.init(
+        address="local", num_cpus=32, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    build_corpus()
+    from geo_epic_ray.pipelines.queries import QUERIES
+
+    names = sys.argv[1:] or HEAVIES
+    out = {}
+    for name in names:
+        s = RssSampler()
+        s.start()
+        t0 = time.perf_counter()
+        res = QUERIES[name](SMOKE_DIR)
+        n = res.count() if hasattr(res, "count") else len(res)
+        dt = time.perf_counter() - t0
+        s.stop_ev.set()
+        s.join()
+        out[name] = {
+            "sec": round(dt, 2),
+            "rows": int(n),
+            "peak_total_rss_mb": round(s.peak_total_kb / 1024, 1),
+            "peak_driver_rss_mb": round(s.peak_driver_kb / 1024, 1),
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    ray.shutdown()
+    print(json.dumps({"n_docs": N_DOCS, "dir": SMOKE_DIR, "results": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,32 @@ def test_flagship_salts_hot_cells(enriched):
     assert salted.rows.max() <= 400 * 1.5
 
 
+def test_flagship_groupby_write_mode_matches_exchange(enriched, ray_session, tmp_path):
+    # the retained pre-r4 Dataset-groupby write form (kept for the
+    # measured A/B, scripts/measure_ckpt_write.py) must produce the same
+    # partitions, rows and resume behavior as the exchange form
+    from geo_epic_ray.pipelines.flagship import run_flagship, synthetic_documents
+
+    out_x, report_x = enriched
+    out = str(tmp_path / "gbw")
+    docs = synthetic_documents(5000)
+    report = run_flagship(
+        docs, out, input_fingerprint="t-5000", skew=True, target_rows=400,
+        write_mode="groupby",
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        report[["part_key", "rows"]],
+        report_x[["part_key", "rows"]],
+    )
+    r2 = run_flagship(
+        docs, out, input_fingerprint="t-5000", skew=True, target_rows=400,
+        write_mode="groupby",
+    )
+    assert r2.skipped.all()
+
+
 def test_manifest_resume_skips_completed(ray_session, tmp_path):
     from geo_epic_ray.pipelines.flagship import run_flagship, synthetic_documents
 
