@@ -24,6 +24,18 @@ FNV_OFF = 0xCBF29CE484222325
 FNV_PRIME = 0x100000001B3
 
 
+def rnd(expr: str, n: int) -> str:
+    """Correctly-rounded half-to-even decimal rounding in SQL. DuckDB's
+    round_even misrounds near-tie doubles (its own scaled-double artifact
+    — observed at n=6 on sf0.1, profile_lai max_lai), while printf goes
+    through fmt's correctly-rounded formatter. Pairs bit-exactly with
+    stages/rounding.round_decimal and CPython round() — see
+    stages/rounding.py for the verification protocol. Use this (not
+    round_even) for any oracle column whose Ray side rounds with
+    round_decimal or builtin round."""
+    return f"CAST(printf('%.{n}f', {expr}) AS DOUBLE)"
+
+
 def _u64mul(expr: str, const: int) -> str:
     """(expr * const) mod 2^64 without int128 overflow (32-bit split)."""
     return (
@@ -869,9 +881,9 @@ filled AS (
   FROM itp t JOIN bounds b USING (user_id)
 )
 SELECT strftime(d, '%m-%d') AS month_day,
-       round_even(quantile_cont(lai, 0.10), 6) AS min_lai,
-       round_even(quantile_cont(lai, 0.90), 6) AS max_lai,
-       round_even(avg(lai), 6) AS mean_lai
+       CAST(printf('%.6f', quantile_cont(lai, 0.10)) AS DOUBLE) AS min_lai,
+       CAST(printf('%.6f', quantile_cont(lai, 0.90)) AS DOUBLE) AS max_lai,
+       CAST(printf('%.6f', avg(lai)) AS DOUBLE) AS mean_lai
 FROM filled WHERE lai > 0 GROUP BY 1
 """
 

@@ -1067,10 +1067,11 @@ def tile_mode_lang(sf_dir: str):
     "climate_scalars",
     """
     SELECT event_id,
-           round_even(exp((17.625 * (value * 0.05)) / (243.04 + (value * 0.05)))
-                 / exp((17.625 * ((value*0.2 + value*0.2 - 10)/2))
-                       / (243.04 + ((value*0.2 + value*0.2 - 10)/2))), 6) AS rh_dew,
-           round_even(sqrt((value * 0.1) * (value * 0.1) + 9.0), 2) AS ws
+           CAST(printf('%.6f',
+                exp((17.625 * (value * 0.05)) / (243.04 + (value * 0.05)))
+              / exp((17.625 * ((value*0.2 + value*0.2 - 10)/2))
+                    / (243.04 + ((value*0.2 + value*0.2 - 10)/2)))) AS DOUBLE) AS rh_dew,
+           CAST(printf('%.2f', sqrt((value * 0.1) * (value * 0.1) + 9.0)) AS DOUBLE) AS ws
     FROM events
     """,
 )
@@ -1078,6 +1079,7 @@ def climate_scalars(sf_dir: str):
     """The reference's scalar climate formulas (M5, formule.py) vectorized
     over a derived column set; oracle recomputes the same expressions."""
     from ..stages.climate import rh_dewpt, windspd
+    from ..stages.rounding import round_decimal
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
 
@@ -1088,7 +1090,7 @@ def climate_scalars(sf_dir: str):
         return pd.DataFrame(
             {
                 "event_id": b.event_id,
-                "rh_dew": rh_dewpt(dew, tmax, tmin).round(6),
+                "rh_dew": round_decimal(rh_dewpt(dew, tmax, tmin), 6),
                 "ws": windspd(b.value * 0.1, np.full(len(b), 3.0)),
             }
         )

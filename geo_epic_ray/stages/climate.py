@@ -96,8 +96,15 @@ def rh_vappr(vappr: np.ndarray, tmax: np.ndarray, tmin: np.ndarray) -> np.ndarra
 
 
 def windspd(uw: np.ndarray, vw: np.ndarray) -> np.ndarray:
-    """sqrt(u^2 + v^2), rounded to 2 decimals (formule.py:29-34)."""
-    return np.round(np.sqrt(uw**2 + vw**2), 2)
+    """sqrt(u^2 + v^2), rounded to 2 decimals (formule.py:29-34).
+
+    Rounds correctly on the true double (stages/rounding.py), not
+    np.round: np.round's float64-scaled tie at e.g. sqrt -> 28.205000...02
+    banker's-rounds DOWN where every correctly-rounded implementation
+    (CPython round, DuckDB printf) rounds up — a real sf0.1 mismatch."""
+    from .rounding import round_decimal
+
+    return round_decimal(np.sqrt(uw**2 + vw**2), 2)
 
 
 def daymet_normalize(data: pd.DataFrame, start_year: int, end_year: int) -> pd.DataFrame:

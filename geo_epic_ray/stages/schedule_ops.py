@@ -131,7 +131,12 @@ def edit_fertilizer_rate(
 
 def iter_seasons(df: pd.DataFrame):
     """Yield growing seasons (opc.py:246-301): plantation rows in date
-    order, each paired with the first same-crop harvest strictly after."""
+    order, each paired with the first same-crop harvest strictly after.
+
+    Scale note: the iterrows here (and in _get_date) runs over ONE
+    schedule's rows — a few dozen, inherently sequential reference
+    semantics. Parallelism lives a level up, across opc_id groups; these
+    loops are O(rows-per-schedule), never O(corpus)."""
     df = with_dates(df) if "date" not in df.columns else df
     plant = df[df["CODE"].isin(PLANTATION_CODES)].sort_values("date", kind="stable")
     harv = df[df["CODE"].isin(HARVEST_CODES)].sort_values("date", kind="stable")

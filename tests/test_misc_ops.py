@@ -582,3 +582,45 @@ def test_textio_special_chars(ray_session, tmp_path):
         back = reader(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert back.text.tolist() == texts, path
         assert back.doc_id.tolist() == list(range(5))
+
+
+def test_round_decimal_correctly_rounded():
+    """stages/rounding.round_decimal must be bit-exact vs BOTH correctly-
+    rounded references: CPython round() and DuckDB CAST(printf AS DOUBLE)
+    — including exact decimal ties and their nextafter neighbors, where
+    np.round and DuckDB round_even both misround (the sf0.1
+    climate_scalars/profile_lai mismatch class)."""
+    import duckdb
+    import pyarrow as pa
+
+    from geo_epic_ray.stages.rounding import round_decimal
+
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 4, 6):
+        ties = (np.floor(rng.uniform(0, 100, 4000) * 10**n * 2 + 1)) / (
+            2 * 10.0**n
+        )
+        base = np.concatenate(
+            [
+                rng.uniform(0, 100, 6000),
+                rng.uniform(0, 10000, 3000),
+                ties,
+                -ties,
+                np.nextafter(ties, np.inf),
+                np.nextafter(ties, -np.inf),
+            ]
+        )
+        mine = round_decimal(base, n)
+        py = np.array([round(float(v), n) for v in base])
+        assert (mine == py).all(), f"n={n}: diverges from CPython round"
+        con = duckdb.connect()
+        try:
+            con.register("t", pa.table({"x": base}))
+            dk = con.execute(
+                f"SELECT CAST(printf('%.{n}f', x) AS DOUBLE) AS r FROM t"
+            ).fetchnumpy()["r"]
+        finally:
+            con.close()
+        assert (mine == dk).all(), f"n={n}: diverges from DuckDB printf"
+    # the observed sf0.1 edge: np.round gives 28.2 (wrong)
+    assert round_decimal(np.array([28.205000000000002]), 2)[0] == 28.21
