@@ -881,9 +881,9 @@ filled AS (
   FROM itp t JOIN bounds b USING (user_id)
 )
 SELECT strftime(d, '%m-%d') AS month_day,
-       CAST(printf('%.6f', quantile_cont(lai, 0.10)) AS DOUBLE) AS min_lai,
-       CAST(printf('%.6f', quantile_cont(lai, 0.90)) AS DOUBLE) AS max_lai,
-       CAST(printf('%.6f', avg(lai)) AS DOUBLE) AS mean_lai
+       {rnd("quantile_cont(lai, 0.10)", 6)} AS min_lai,
+       {rnd("quantile_cont(lai, 0.90)", 6)} AS max_lai,
+       {rnd("avg(lai)", 6)} AS mean_lai
 FROM filled WHERE lai > 0 GROUP BY 1
 """
 

@@ -1042,6 +1042,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     n_buckets: int = 32,
     dense_max: int = 1 << 16,
+    dense_docs_max: int = 150_000,
 ) -> rd.Dataset:
     """EXACT char-k-gram Jaccard threshold self-join (id_a < id_b,
     jaccard >= threshold) — deterministic recall, two physical plans
@@ -1103,6 +1104,26 @@ def ngram_jaccard_pairs(
             break
 
     if vocab is not None:
+        # The dense plan's compute is O(n_docs^2 * vocab/64) regardless of
+        # how few pairs actually clear the threshold — optimal for small n
+        # (no shuffle, SWAR popcount), a silent multi-hour cliff at large n
+        # (surfaced by the r5 scale smoke: 500k docs x 52k-shingle vocab =
+        # ~1.3e14 word-ANDs). A small-vocab corpus at large n has no good
+        # EXACT plan: PPJoin's posting lists span the corpus here by
+        # definition (measured 8.9e7 candidate rows for 25 true pairs on
+        # the sf0.1 dense fixture), so refuse loudly instead of degrading.
+        n_docs = ds.count()
+        if n_docs > dense_docs_max:
+            words = max(1, (min(vocab.size, dense_max) + 63) // 64)
+            raise ValueError(
+                f"ngram_jaccard_pairs: corpus has only {vocab.size} distinct "
+                f"shingles but {n_docs} docs — exact threshold self-join on a "
+                f"low-diversity corpus is inherently all-pairs "
+                f"(~{n_docs * n_docs // 2 * words:.1e} popcount word-ops). "
+                f"Raise dense_docs_max to accept that cost explicitly, shard "
+                f"the corpus, or use minhash_lsh_pairs (probabilistic recall) "
+                f"/ simhash near-dup instead."
+            )
         return _dense_jaccard_pairs(
             ds, vocab, threshold, text_col, id_col, shingle_k, n_buckets
         )

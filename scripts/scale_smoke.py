@@ -28,7 +28,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("GRAFT_SMOKE_DOCS", "500000"))
-SMOKE_DIR = os.environ.get("GRAFT_SMOKE_DIR", f"/tmp/graft_smoke_{N_DOCS}")
+# Word-vocab scales with the corpus (real text diversity grows with size)
+# so the ngram Jaccard join takes its PPJoin path at 500k the way a real
+# corpus would; the fixed-4k-vocab dense-bitmap stress runs as a separate
+# bounded leg (see DENSE_LEG) because that plan is inherently O(n^2).
+VOCAB_N = int(os.environ.get("GRAFT_SMOKE_VOCAB", str(max(4000, N_DOCS // 25))))
+SMOKE_DIR = os.environ.get(
+    "GRAFT_SMOKE_DIR", f"/tmp/graft_smoke_{N_DOCS}_v{VOCAB_N}"
+)
+DENSE_LEG = ("ngram_jaccard_pairs", 100_000, 4000)  # query, n_docs, vocab
 
 HEAVIES = [
     "minhash_lsh_pairs",
@@ -80,19 +88,38 @@ class RssSampler(threading.Thread):
             time.sleep(0.2)
 
 
-def build_corpus() -> None:
+def build_corpus(
+    out_dir: str, n_docs: int, vocab_n: int, word_style: str = "letters"
+) -> None:
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
-    marker = os.path.join(SMOKE_DIR, "_OK")
+    marker = os.path.join(out_dir, "_OK")
     if os.path.exists(marker):
         return
-    os.makedirs(f"{SMOKE_DIR}/documents.parquet", exist_ok=True)
-    os.makedirs(f"{SMOKE_DIR}/embeddings.parquet", exist_ok=True)
+    os.makedirs(f"{out_dir}/documents.parquet", exist_ok=True)
+    os.makedirs(f"{out_dir}/embeddings.parquet", exist_ok=True)
     from geo_epic_ray.fixtures.rng import randint
 
-    vocab = np.array([f"w{i:04d}" for i in range(4000)])
+    if word_style == "letters":
+        # hashed 6-letter words: cross-boundary char-5-grams are diverse,
+        # so the shingle census exceeds dense_max and ngram Jaccard takes
+        # its PPJoin path — the realistic big-corpus shape
+        hv = (
+            np.arange(vocab_n, dtype=np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(1 << 32)
+        cols = [
+            (hv >> np.uint64(5 * j)) % np.uint64(26) for j in range(6)
+        ]
+        vocab = np.array(
+            ["".join(chr(97 + int(c[i])) for c in cols) for i in range(vocab_n)]
+        )
+    else:
+        # digit words: 5-grams collapse to digit patterns, census stays
+        # under dense_max -> the dense-bitmap (all-pairs) plan
+        width = len(str(vocab_n - 1))
+        vocab = np.array([f"w{i:0{width}d}" for i in range(vocab_n)])
     boiler = " ".join(f"b{i}" for i in range(12))
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -131,11 +158,11 @@ def build_corpus() -> None:
             }
         )
 
-    rd.range(N_DOCS, override_num_blocks=64).map_batches(
+    rd.range(n_docs, override_num_blocks=64).map_batches(
         gen, batch_format="pyarrow", batch_size=32768
-    ).write_parquet(f"{SMOKE_DIR}/documents.parquet")
+    ).write_parquet(f"{out_dir}/documents.parquet")
 
-    n_vec = max(1000, N_DOCS // 5)
+    n_vec = max(1000, n_docs // 5)
     dim, k = 64, 16
 
     def gen_emb(batch: pa.Table) -> pa.Table:
@@ -163,7 +190,7 @@ def build_corpus() -> None:
 
     rd.range(n_vec, override_num_blocks=16).map_batches(
         gen_emb, batch_format="pyarrow", batch_size=16384
-    ).write_parquet(f"{SMOKE_DIR}/embeddings.parquet")
+    ).write_parquet(f"{out_dir}/embeddings.parquet")
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -178,29 +205,41 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    build_corpus()
+    build_corpus(SMOKE_DIR, N_DOCS, VOCAB_N)
     from geo_epic_ray.pipelines.queries import QUERIES
 
-    names = sys.argv[1:] or HEAVIES
-    out = {}
-    for name in names:
+    def timed(name: str, sf_dir: str, label: str, out: dict) -> None:
         s = RssSampler()
         s.start()
         t0 = time.perf_counter()
-        res = QUERIES[name](SMOKE_DIR)
+        res = QUERIES[name](sf_dir)
         n = res.count() if hasattr(res, "count") else len(res)
         dt = time.perf_counter() - t0
         s.stop_ev.set()
         s.join()
-        out[name] = {
+        out[label] = {
             "sec": round(dt, 2),
             "rows": int(n),
             "peak_total_rss_mb": round(s.peak_total_kb / 1024, 1),
             "peak_driver_rss_mb": round(s.peak_driver_kb / 1024, 1),
         }
-        print(json.dumps({name: out[name]}), flush=True)
+        print(json.dumps({label: out[label]}), flush=True)
+
+    names = sys.argv[1:] or HEAVIES
+    out = {}
+    for name in names:
+        timed(name, SMOKE_DIR, name, out)
+    # dense-bitmap stress: bounded leg (the dense exact-Jaccard plan is
+    # O(n^2) by design and gated by dense_docs_max past 150k docs)
+    dq, dn, dv = DENSE_LEG
+    if dq in names:
+        dense_dir = f"/tmp/graft_smoke_{dn}_v{dv}_dense"
+        build_corpus(dense_dir, dn, dv, word_style="digits")
+        timed(dq, dense_dir, f"{dq}@dense{dn // 1000}k", out)
     ray.shutdown()
-    print(json.dumps({"n_docs": N_DOCS, "dir": SMOKE_DIR, "results": out}))
+    print(json.dumps(
+        {"n_docs": N_DOCS, "vocab": VOCAB_N, "dir": SMOKE_DIR, "results": out}
+    ))
 
 
 if __name__ == "__main__":

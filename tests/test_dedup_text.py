@@ -305,6 +305,25 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
         assert got_pairs == want, f"dense_max={dense_max}"
 
 
+def test_ngram_jaccard_dense_docs_gate(ray_session):
+    """A small-vocab corpus past dense_docs_max must be refused loudly:
+    the dense plan is O(n_docs^2) compute regardless of true-pair count
+    (the r5 scale smoke measured a silent multi-hour cliff at 500k docs),
+    and PPJoin is provably worse on that shape — the error names both
+    escape hatches."""
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = [f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7}" for i in range(40)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(40), "text": texts}))
+    with pytest.raises(ValueError, match="dense_docs_max|minhash_lsh_pairs"):
+        ngram_jaccard_pairs(ds, threshold=0.9, dense_docs_max=10)
+    # at/under the bound the dense plan still runs
+    out = ngram_jaccard_pairs(ds, threshold=0.9, dense_docs_max=40).to_pandas()
+    assert len(out) > 0  # the cyclic construction has exact dups
+
+
 def test_ngram_jaccard_pairs_short_docs(ray_session):
     import ray.data as rd
 
