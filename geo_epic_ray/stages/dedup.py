@@ -263,13 +263,19 @@ def run_pairs(starts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def keyed_id_pairs(
-    keys: np.ndarray, ids: np.ndarray
+    keys: np.ndarray, ids: np.ndarray, max_pairs: int | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Candidate id pairs (id_a < id_b) from (bucket_key, id) rows: sort by
     (key, id), drop duplicate (key, id), pair up within equal-key runs.
     Returns (a_pos, b_pos, order-applied ids) — positions index into the
     returned deduped id array, so callers can also carry per-row payloads
-    (apply the same order/dedup to the payload column)."""
+    (apply the same order/dedup to the payload column).
+
+    ``max_pairs`` bounds the run_pairs allocation: the exact pair count is
+    known from the run lengths BEFORE anything quadratic is allocated, so
+    a pathological key histogram raises a sized error instead of OOM-
+    killing the worker (the r5 scale smoke lost a reduce task at 6.6 GB
+    RSS to an unbudgeted candidate explosion)."""
     order = np.lexsort((ids, keys))
     k = keys[order]
     i = ids[order]
@@ -283,6 +289,19 @@ def keyed_id_pairs(
         if k.size
         else np.empty(0, np.int64)
     )
+    if max_pairs is not None and k.size:
+        runs = np.diff(np.r_[starts, k.size]).astype(np.int64)
+        total = int((runs * (runs - 1) // 2).sum())
+        if total > max_pairs:
+            top = np.sort(runs)[-3:][::-1]
+            raise ValueError(
+                f"candidate-pair budget exceeded: {total:.3g} pairs in one "
+                f"bucket (budget {max_pairs:.3g}); hottest key run sizes "
+                f"{top.tolist()}. Raise the budget to accept the memory "
+                f"cost explicitly, raise the similarity threshold (shorter "
+                f"prefixes), pre-salt/block the key, or use a probabilistic "
+                f"candidate stage (minhash_lsh_pairs / simhash)."
+            )
     a, b = run_pairs(starts, k.size)
     return a, b, order
 
@@ -312,6 +331,7 @@ def bucketed_pairs(
     n_buckets: int = 32,
     payload_cols: list[str] | None = None,
     pair_filter=None,
+    max_pairs_per_bucket: int | None = None,
 ) -> rd.Dataset:
     """Candidate pairs (id_a < id_b) from (bucket_key, id) rows, fully
     distributed: shuffle by hash(key) % n_buckets (ONE small-column
@@ -319,7 +339,10 @@ def bucketed_pairs(
     the >= 2-member prefilter falls out of the run boundaries for free,
     with no driver-side merge. Degenerate hot keys (everything identical)
     still cost O(m^2) pairs — salt upstream if the key histogram is
-    pathological.
+    pathological, and set ``max_pairs_per_bucket`` so a pathological
+    histogram raises a sized, actionable error (exact count from run
+    lengths, computed BEFORE the quadratic allocation) instead of OOM-
+    killing the reduce worker.
 
     ``payload_cols`` (int64 columns riding the key rows, e.g. the words of
     a packed similarity sketch) + ``pair_filter(cols_a, cols_b) -> bool
@@ -344,6 +367,7 @@ def bucketed_pairs(
         a, b, order = keyed_id_pairs(
             g.column(key_col).to_numpy(zero_copy_only=False),
             g.column(id_col).to_numpy(zero_copy_only=False),
+            max_pairs=max_pairs_per_bucket,
         )
         if not a.size:
             return pd.DataFrame(
@@ -1043,6 +1067,7 @@ def ngram_jaccard_pairs(
     n_buckets: int = 32,
     dense_max: int = 1 << 16,
     dense_docs_max: int = 150_000,
+    max_cand_pairs_per_bucket: int = 50_000_000,
 ) -> rd.Dataset:
     """EXACT char-k-gram Jaccard threshold self-join (id_a < id_b,
     jaccard >= threshold) — deterministic recall, two physical plans
@@ -1187,7 +1212,13 @@ def ngram_jaccard_pairs(
         select_prefix, pref_empty,
     )
 
-    cand = bucketed_pairs(pref, "pkey", id_col, n_buckets=n_buckets)
+    # the pair budget turns a corpus whose prefix postings are uniformly
+    # hot (no rare shingles -> candidate volume ~ sum df^2, intrinsically
+    # quadratic) into a sized error instead of a worker OOM
+    cand = bucketed_pairs(
+        pref, "pkey", id_col, n_buckets=n_buckets,
+        max_pairs_per_bucket=max_cand_pairs_per_bucket,
+    )
 
     def to_payload(b: pd.DataFrame) -> pd.DataFrame:
         hs, offs = char_shingle_hashes(b[text_col].tolist(), shingle_k)

@@ -208,11 +208,11 @@ def main():
     build_corpus(SMOKE_DIR, N_DOCS, VOCAB_N)
     from geo_epic_ray.pipelines.queries import QUERIES
 
-    def timed(name: str, sf_dir: str, label: str, out: dict) -> None:
+    def timed(name: str, sf_dir: str, label: str, out: dict, fn=None) -> None:
         s = RssSampler()
         s.start()
         t0 = time.perf_counter()
-        res = QUERIES[name](sf_dir)
+        res = (fn or QUERIES[name])(sf_dir)
         n = res.count() if hasattr(res, "count") else len(res)
         dt = time.perf_counter() - t0
         s.stop_ev.set()
@@ -225,10 +225,46 @@ def main():
         }
         print(json.dumps({label: out[label]}), flush=True)
 
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import ngram_jaccard_pairs
+
+    def ngram_t08(sf_dir: str):
+        # production dedup threshold; the registry query pins t=0.5 for
+        # its small oracle gate, but at 500k word-salad docs t=0.5
+        # prefixes are hot enough that the exact candidate volume is
+        # ~5.7e9 pairs — intrinsically too much for ANY exact plan (the
+        # budget guardrail leg below proves the engine refuses it with a
+        # sized error instead of the pre-r5 worker OOM)
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ngram_jaccard_pairs(ds, threshold=0.8)
+
+    CUSTOM = {"ngram_jaccard_pairs": ngram_t08}
+
     names = sys.argv[1:] or HEAVIES
     out = {}
     for name in names:
-        timed(name, SMOKE_DIR, name, out)
+        timed(name, SMOKE_DIR, name, out, fn=CUSTOM.get(name))
+    # guardrail leg: t=0.5 on the full corpus must FAIL SIZED, not OOM
+    if "ngram_jaccard_pairs" in names and N_DOCS >= 300_000:
+        t0 = time.perf_counter()
+        try:
+            ds = rd.read_parquet(
+                f"{SMOKE_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+            ngram_jaccard_pairs(ds, threshold=0.5).count()
+            out["ngram_guardrail@t0.5"] = {"guardrail": "DID NOT FIRE"}
+        except Exception as ex:  # noqa: BLE001 — RayTaskError(ValueError)
+            msg = str(ex)
+            key = "candidate-pair budget exceeded"
+            out["ngram_guardrail@t0.5"] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "guardrail": "fired" if key in msg else f"other: {msg[:160]}",
+            }
+        print(json.dumps({"ngram_guardrail@t0.5":
+                          out["ngram_guardrail@t0.5"]}), flush=True)
     # dense-bitmap stress: bounded leg (the dense exact-Jaccard plan is
     # O(n^2) by design and gated by dense_docs_max past 150k docs)
     dq, dn, dv = DENSE_LEG

@@ -324,6 +324,28 @@ def test_ngram_jaccard_dense_docs_gate(ray_session):
     assert len(out) > 0  # the cyclic construction has exact dups
 
 
+def test_bucketed_pairs_budget_raises_sized_error(ray_session):
+    """max_pairs_per_bucket must refuse BEFORE the quadratic allocation,
+    with the exact count and hottest run sizes in the message (the r5
+    scale smoke OOM-killed a reduce worker on an unbudgeted explosion)."""
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import bucketed_pairs
+
+    df = pd.DataFrame(
+        {"k": np.zeros(200, np.int64), "doc_id": np.arange(200, dtype=np.int64)}
+    )
+    ds = rd.from_pandas(df)
+    with pytest.raises(Exception, match="candidate-pair budget exceeded"):
+        bucketed_pairs(
+            ds, "k", "doc_id", n_buckets=2, max_pairs_per_bucket=1000
+        ).to_pandas()
+    ok = bucketed_pairs(
+        ds, "k", "doc_id", n_buckets=2, max_pairs_per_bucket=30000
+    ).to_pandas()
+    assert len(ok) == 200 * 199 // 2
+
+
 def test_ngram_jaccard_pairs_short_docs(ray_session):
     import ray.data as rd
 
