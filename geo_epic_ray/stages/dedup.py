@@ -1067,7 +1067,7 @@ def ngram_jaccard_pairs(
     n_buckets: int = 32,
     dense_max: int = 1 << 16,
     dense_docs_max: int = 150_000,
-    max_cand_pairs_per_bucket: int = 50_000_000,
+    max_cand_pairs_per_bucket: int = 500_000,
 ) -> rd.Dataset:
     """EXACT char-k-gram Jaccard threshold self-join (id_a < id_b,
     jaccard >= threshold) — deterministic recall, two physical plans
@@ -1214,7 +1214,12 @@ def ngram_jaccard_pairs(
 
     # the pair budget turns a corpus whose prefix postings are uniformly
     # hot (no rare shingles -> candidate volume ~ sum df^2, intrinsically
-    # quadratic) into a sized error instead of a worker OOM
+    # quadratic) into a sized error instead of a worker OOM. The default
+    # is sized for the VERIFY stage, the real memory bound: each pair
+    # rides the cogroup with both members' shingle payloads (~2 x k x
+    # set-size bytes — ~4.4 KB/pair on 280-shingle docs), so 500k pairs
+    # per bucket keeps a verify task near 2 GB. Pure id-pair generation
+    # alone would tolerate ~100x more.
     cand = bucketed_pairs(
         pref, "pkey", id_col, n_buckets=n_buckets,
         max_pairs_per_bucket=max_cand_pairs_per_bucket,

@@ -28,15 +28,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("GRAFT_SMOKE_DOCS", "500000"))
-# Word-vocab scales with the corpus (real text diversity grows with size)
-# so the ngram Jaccard join takes its PPJoin path at 500k the way a real
-# corpus would; the fixed-4k-vocab dense-bitmap stress runs as a separate
-# bounded leg (see DENSE_LEG) because that plan is inherently O(n^2).
-VOCAB_N = int(os.environ.get("GRAFT_SMOKE_VOCAB", str(max(4000, N_DOCS // 25))))
+# Main corpus is "mixed" (web shape: hot shared vocab + mostly doc-unique
+# words) so exact-join candidate volume tracks true pairs. Two extra
+# ngram legs run on pathological shapes: DENSE_LEG (digit vocab ->
+# dense-bitmap plan, bounded n) and GUARDRAIL_LEG (uniform letter vocab
+# -> PPJoin with intrinsically quadratic candidates; must fail SIZED).
+VOCAB_N = int(os.environ.get("GRAFT_SMOKE_VOCAB", "4000"))
 SMOKE_DIR = os.environ.get(
-    "GRAFT_SMOKE_DIR", f"/tmp/graft_smoke_{N_DOCS}_v{VOCAB_N}"
+    "GRAFT_SMOKE_DIR", f"/tmp/graft_smoke_{N_DOCS}_mixed{VOCAB_N}"
 )
-DENSE_LEG = ("ngram_jaccard_pairs", 100_000, 4000)  # query, n_docs, vocab
+DENSE_LEG = ("ngram_jaccard_pairs", 100_000, 4000)  # n_docs, digit vocab
+GUARDRAIL_LEG = (500_000, 20_000)  # n_docs, uniform letter vocab
 
 HEAVIES = [
     "minhash_lsh_pairs",
@@ -102,24 +104,31 @@ def build_corpus(
     os.makedirs(f"{out_dir}/embeddings.parquet", exist_ok=True)
     from geo_epic_ray.fixtures.rng import randint
 
-    if word_style == "letters":
-        # hashed 6-letter words: cross-boundary char-5-grams are diverse,
-        # so the shingle census exceeds dense_max and ngram Jaccard takes
-        # its PPJoin path — the realistic big-corpus shape
+    def words_from_ids(idx: np.ndarray) -> np.ndarray:
+        # 6-letter words straight from a 32-bit mix of the word id
         hv = (
-            np.arange(vocab_n, dtype=np.uint64) * np.uint64(2654435761)
+            idx.astype(np.uint64) * np.uint64(2654435761)
         ) % np.uint64(1 << 32)
-        cols = [
-            (hv >> np.uint64(5 * j)) % np.uint64(26) for j in range(6)
-        ]
-        vocab = np.array(
-            ["".join(chr(97 + int(c[i])) for c in cols) for i in range(vocab_n)]
-        )
-    else:
+        flat = np.zeros((idx.size, 6), dtype=np.uint8)
+        for j in range(6):
+            flat[:, j] = 97 + (
+                (hv >> np.uint64(5 * j)) % np.uint64(26)
+            ).astype(np.uint8)
+        return flat.view("S6").reshape(idx.size).astype("U6")
+
+    if word_style == "letters":
+        # uniform small letter vocab: diverse char-5-grams (census exceeds
+        # dense_max -> PPJoin) but EVERY prefix shingle is hot — the
+        # templated-corpus pathology whose exact candidate volume is
+        # intrinsically quadratic (the pair-budget guardrail's target)
+        vocab = words_from_ids(np.arange(vocab_n, dtype=np.int64))
+    elif word_style == "digits":
         # digit words: 5-grams collapse to digit patterns, census stays
         # under dense_max -> the dense-bitmap (all-pairs) plan
         width = len(str(vocab_n - 1))
         vocab = np.array([f"w{i:0{width}d}" for i in range(vocab_n)])
+    else:
+        vocab = None  # "mixed": word ids drawn per-slot in gen()
     boiler = " ".join(f"b{i}" for i in range(12))
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -130,10 +139,23 @@ def build_corpus(
         near = ids % 10 == 9
         exact = ids % 23 == 22
         base[near | exact] = ids[near | exact] - 1
-        words = vocab[randint(
-            (base[:, None] * np.int64(40) + np.arange(40)[None, :]).reshape(-1),
-            7, 1, 0, len(vocab),
-        )].reshape(ids.size, 40)
+        seeds = (
+            base[:, None] * np.int64(40) + np.arange(40)[None, :]
+        ).reshape(-1)
+        if word_style == "mixed":
+            # web-corpus shape: every 4th slot from a hot shared vocab
+            # (vocab_n words), the rest from a 2^30 id space — non-dup
+            # docs share only hot words (never in rarest-first prefixes),
+            # so exact-join candidate volume tracks TRUE pairs, not n^2
+            draw = randint(seeds, 7, 1, 0, 1 << 30)
+            hot_slot = np.tile(np.arange(40) % 4 == 0, ids.size)
+            widx = np.where(hot_slot, draw % vocab_n, vocab_n + draw)
+            words = words_from_ids(widx).reshape(ids.size, 40)
+        else:
+            words = vocab[
+                randint(seeds, 7, 1, 0, len(vocab))
+            ].reshape(ids.size, 40)
+        words = words.astype("U7")
         words[near, -1] = "changed"
         texts = np.array([" ".join(row) for row in words], dtype=object)
         hot = randint(ids, 7, 2, 0, 20) == 0  # 5% carry the hot chunk
@@ -205,7 +227,7 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    build_corpus(SMOKE_DIR, N_DOCS, VOCAB_N)
+    build_corpus(SMOKE_DIR, N_DOCS, VOCAB_N, word_style="mixed")
     from geo_epic_ray.pipelines.queries import QUERIES
 
     def timed(name: str, sf_dir: str, label: str, out: dict, fn=None) -> None:
@@ -230,12 +252,8 @@ def main():
     from geo_epic_ray.stages.dedup import ngram_jaccard_pairs
 
     def ngram_t08(sf_dir: str):
-        # production dedup threshold; the registry query pins t=0.5 for
-        # its small oracle gate, but at 500k word-salad docs t=0.5
-        # prefixes are hot enough that the exact candidate volume is
-        # ~5.7e9 pairs — intrinsically too much for ANY exact plan (the
-        # budget guardrail leg below proves the engine refuses it with a
-        # sized error instead of the pre-r5 worker OOM)
+        # production near-dup threshold (the registry query pins t=0.5
+        # for its small oracle gate)
         ds = rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
@@ -247,12 +265,18 @@ def main():
     out = {}
     for name in names:
         timed(name, SMOKE_DIR, name, out, fn=CUSTOM.get(name))
-    # guardrail leg: t=0.5 on the full corpus must FAIL SIZED, not OOM
+    # guardrail leg: on a uniform-letter-vocab (templated) corpus every
+    # prefix shingle is hot — measured 5.7e9 exact candidates at 500k,
+    # intrinsically too much for ANY exact plan. The engine must fail
+    # SIZED (candidate-pair budget), not OOM-kill workers (pre-r5).
     if "ngram_jaccard_pairs" in names and N_DOCS >= 300_000:
+        gn, gv = GUARDRAIL_LEG
+        gdir = f"/tmp/graft_smoke_{gn}_v{gv}"
+        build_corpus(gdir, gn, gv, word_style="letters")
         t0 = time.perf_counter()
         try:
             ds = rd.read_parquet(
-                f"{SMOKE_DIR}/documents.parquet", columns=["doc_id", "text"]
+                f"{gdir}/documents.parquet", columns=["doc_id", "text"]
             )
             ngram_jaccard_pairs(ds, threshold=0.5).count()
             out["ngram_guardrail@t0.5"] = {"guardrail": "DID NOT FIRE"}
