@@ -410,6 +410,7 @@ def pair_payload_verify(
     n_buckets: int = 32,
     payload_cols: list[str] | None = None,
     empty_out: pd.DataFrame | None = None,
+    max_pairs_per_bucket: int | None = 500_000,
 ) -> rd.Dataset:
     """Verify candidate pairs against a per-id payload WITHOUT broadcasting
     the payload: explode each pair into two member rows, cogroup with the
@@ -421,8 +422,52 @@ def pair_payload_verify(
 
     ``payload_cols`` (the payload's non-id columns), when given, prunes
     the payload side to exactly the columns the verify needs before the
-    exchange."""
+    exchange.
+
+    ``max_pairs_per_bucket`` budgets DISTINCT pairs per verify bucket —
+    the stage's real memory bound (each pair joins BOTH members'
+    payloads, kB-scale vs the 16 B of an id pair) — raising a sized
+    error instead of OOM-killing the verify task."""
     from . import exchange
+
+    # Dedup candidates on a cheap pair-hash exchange BEFORE the payload
+    # join: cross-band / cross-prefix-key duplicates of one pair (57x on
+    # the r5 ngram smoke, up to n_tables/n_bands x for LSH) otherwise
+    # ride the join each carrying both payloads, multiplying verify
+    # memory by the duplication factor. Duplicates colocate here by
+    # construction (same pair_bucket_keys formula as the final verify
+    # scatter), so the post-dedup per-bucket count IS the verify task's
+    # pair count — the right place for the budget check.
+    def pair_bucket_of(t: pa.Table) -> np.ndarray:
+        return pair_bucket_keys(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False),
+            n_buckets,
+        )
+
+    pair_bucket_of.wants_arrow = True
+    pair_bucket_of.needs_cols = ["id_a", "id_b"]
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["id_a", "id_b"]].drop_duplicates()
+        if max_pairs_per_bucket is not None and len(g) > max_pairs_per_bucket:
+            raise ValueError(
+                f"verify-stage pair budget exceeded: {len(g):.3g} distinct "
+                f"pairs in one pair-bucket (budget "
+                f"{max_pairs_per_bucket:.3g}); each pair joins both "
+                f"members' payloads. Raise n_buckets or the budget to "
+                f"accept the memory cost explicitly, or use a stricter "
+                f"candidate stage (higher threshold / more LSH planes)."
+            )
+        return g
+
+    cand_empty = pd.DataFrame(
+        {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+    )
+    cand = exchange.group_map(
+        exchange.scatter(cand, n_buckets, pair_bucket_of),
+        dedup_bucket, cand_empty,
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False)
@@ -1067,7 +1112,8 @@ def ngram_jaccard_pairs(
     n_buckets: int = 32,
     dense_max: int = 1 << 16,
     dense_docs_max: int = 150_000,
-    max_cand_pairs_per_bucket: int = 500_000,
+    max_cand_pairs_per_bucket: int = 20_000_000,
+    max_verify_pairs_per_bucket: int = 500_000,
 ) -> rd.Dataset:
     """EXACT char-k-gram Jaccard threshold self-join (id_a < id_b,
     jaccard >= threshold) — deterministic recall, two physical plans
@@ -1212,14 +1258,17 @@ def ngram_jaccard_pairs(
         select_prefix, pref_empty,
     )
 
-    # the pair budget turns a corpus whose prefix postings are uniformly
-    # hot (no rare shingles -> candidate volume ~ sum df^2, intrinsically
-    # quadratic) into a sized error instead of a worker OOM. The default
-    # is sized for the VERIFY stage, the real memory bound: each pair
-    # rides the cogroup with both members' shingle payloads (~2 x k x
-    # set-size bytes — ~4.4 KB/pair on 280-shingle docs), so 500k pairs
-    # per bucket keeps a verify task near 2 GB. Pure id-pair generation
-    # alone would tolerate ~100x more.
+    # Two budgets, sized for what each stage actually allocates. The
+    # GENERATION budget here bounds the raw pair explode (16 B/pair:
+    # 2e7 -> ~1 GB transient per reduce task) and turns a corpus whose
+    # prefix postings are uniformly hot (no rare shingles -> candidate
+    # volume ~ sum df^2, intrinsically quadratic) into a sized error
+    # instead of a worker OOM. A benign web-shape corpus emits each true
+    # pair once per SHARED PREFIX SHINGLE (~50x duplication at t=0.8 —
+    # the r5 smoke tripped a flat 5e5 budget on 1.4e6 legitimate rows),
+    # so this bound must sit well above the VERIFY budget, which applies
+    # to DISTINCT pairs after pair_payload_verify's pre-join dedup
+    # (~4.4 KB/pair with both shingle payloads: 5e5 -> ~2 GB/task).
     cand = bucketed_pairs(
         pref, "pkey", id_col, n_buckets=n_buckets,
         max_pairs_per_bucket=max_cand_pairs_per_bucket,
@@ -1264,6 +1313,7 @@ def ngram_jaccard_pairs(
     return pair_payload_verify(
         cand, payload, id_col, verify_bucket, n_buckets,
         payload_cols=["sh_bytes"],
+        max_pairs_per_bucket=max_verify_pairs_per_bucket,
     )
 
 

@@ -346,6 +346,52 @@ def test_bucketed_pairs_budget_raises_sized_error(ray_session):
     assert len(ok) == 200 * 199 // 2
 
 
+def test_pair_payload_verify_dedups_before_join_and_budgets(ray_session):
+    """Duplicate candidate pairs (same pair from many bands/prefix keys)
+    must collapse on the pair-hash exchange BEFORE the payload join — the
+    verify fn sees each pair once — and the distinct-pair budget raises a
+    sized error (the flat generation budget misfired on the r5 smoke's
+    benign 50x-duplicated candidates)."""
+    import ray.data as rd
+
+    from geo_epic_ray.stages.dedup import pair_payload_verify
+
+    # 60 distinct pairs, each duplicated 40x (2400 candidate rows)
+    a = np.repeat(np.arange(60, dtype=np.int64), 40)
+    b = a + 100
+    cand = rd.from_pandas(pd.DataFrame({"id_a": a, "id_b": b}))
+    payload = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(200, dtype=np.int64),
+             "val": np.arange(200, dtype=np.int64) * 10}
+        )
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+             "n_seen": np.empty(0, np.int64)}
+        )
+        if not len(g):
+            return empty
+        counts = g.groupby(["id_a", "id_b"]).size().reset_index(name="n_seen")
+        return counts
+
+    out = pair_payload_verify(
+        cand, payload, "doc_id", verify, n_buckets=4, payload_cols=["val"]
+    ).to_pandas()
+    assert len(out) == 60
+    # each pair contributes exactly its 2 member rows — duplicates died
+    # at the dedup stage, not in the verify fn
+    assert set(out.n_seen) == {2}
+
+    with pytest.raises(Exception, match="verify-stage pair budget exceeded"):
+        pair_payload_verify(
+            cand, payload, "doc_id", verify, n_buckets=1,
+            payload_cols=["val"], max_pairs_per_bucket=10,
+        ).to_pandas()
+
+
 def test_ngram_jaccard_pairs_short_docs(ray_session):
     import ray.data as rd
 
