@@ -261,6 +261,7 @@ def blocked_components(
     threshold: float = 0.2,
     n_buckets: int = 32,
     label_col: str = "component",
+    max_pairs_per_bucket: int | None = 20_000_000,
 ) -> rd.Dataset:
     """Near-dup clusters when edges provably live WITHIN equality blocks
     (the common dedup case: candidates are only generated inside a
@@ -271,9 +272,11 @@ def blocked_components(
     and run a local min-label closure. No rounds, no signature passes —
     use the generic ``connected_components`` only when edges can cross
     partitioning keys (e.g. MinHash band candidates). Requires
-    threshold > 0 (posting lists only see pairs sharing a shingle)."""
+    threshold > 0 (posting lists only see pairs sharing a shingle).
+    ``max_pairs_per_bucket`` refuses sized when the block key does not
+    discriminate (see dedup.blocked_pair_edges)."""
     from . import exchange
-    from .dedup import char_shingle_hashes, run_pairs
+    from .dedup import char_shingle_hashes, check_run_pair_budget, run_pairs
 
     if threshold <= 0:
         raise ValueError("blocked_components requires threshold > 0")
@@ -301,7 +304,15 @@ def blocked_components(
             new_run = np.concatenate(
                 [[True], (he[1:] != he[:-1]) | (ge2[1:] != ge2[:-1])]
             )
-            a, b = run_pairs(np.flatnonzero(new_run), he.size)
+            starts = np.flatnonzero(new_run)
+            check_run_pair_budget(
+                starts, he.size, max_pairs_per_bucket,
+                "The equality block key does not discriminate on this "
+                "corpus. Use a finer block key, raise the budget to accept "
+                "the memory cost explicitly, or switch to a prefix-filtered "
+                "/ LSH candidate stage feeding connected_components.",
+            )
+            a, b = run_pairs(starts, he.size)
             if a.size:
                 n = len(ids)
                 key = de[a].astype(np.int64) * n + de[b]

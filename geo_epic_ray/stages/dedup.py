@@ -306,6 +306,28 @@ def keyed_id_pairs(
     return a, b, order
 
 
+def check_run_pair_budget(
+    run_starts: np.ndarray, size: int, max_pairs: int | None, hint: str
+) -> None:
+    """Sized refusal for posting-list pair explosions: the exact pair
+    count is known from the run lengths BEFORE anything quadratic is
+    allocated (sum C(len, 2)); a pathological histogram raises a
+    ValueError naming the hottest runs instead of OOM-killing the worker
+    (the r5 scale smoke lost reduce tasks at 33 GB RSS to fixed-length
+    corpora collapsing an (n_chars, lang) equality block)."""
+    if max_pairs is None or not size:
+        return
+    runs = np.diff(np.r_[run_starts, size]).astype(np.int64)
+    total = int((runs * (runs - 1) // 2).sum())
+    if total > max_pairs:
+        top = np.sort(runs)[-3:][::-1]
+        raise ValueError(
+            f"candidate-pair budget exceeded: {total:.3g} pairs in one "
+            f"bucket (budget {max_pairs:.3g}); hottest key run sizes "
+            f"{top.tolist()}. {hint}"
+        )
+
+
 def pair_bucket_keys(id_a: np.ndarray, id_b: np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic bucket of a candidate pair by hashing BOTH member ids
     — one shared formula for every grouped pair-dedup/verify pass (all
@@ -1326,6 +1348,7 @@ def blocked_pair_edges(
     shingle_k: int = 5,
     threshold: float = 0.2,
     n_buckets: int = 32,
+    max_pairs_per_bucket: int | None = 20_000_000,
 ) -> rd.Dataset:
     """Near-dup edges from EQUALITY blocking (one block key per doc, e.g.
     (n_chars, lang)) in ONE shuffle: rows (id, keys, text) hash-bucket by
@@ -1336,7 +1359,13 @@ def blocked_pair_edges(
     the rejoin earns its shuffle). Salt skew-prone block keys upstream
     (stages/partition.py). Returns (id_a, id_b, jaccard), id_a < id_b.
     Requires threshold > 0 (the posting-list kernel only sees pairs with
-    at least one shared shingle)."""
+    at least one shared shingle).
+
+    ``max_pairs_per_bucket`` bounds the posting-pair explode: equality
+    blocking is all-pairs WITHIN a block, so a key that fails to
+    discriminate (e.g. (n_chars, lang) over a fixed-length corpus — 4
+    blocks of 125k docs on the r5 smoke) is intrinsically quadratic;
+    refuse sized instead of OOM-killing the reduce task."""
     from . import exchange
 
     if threshold <= 0:
@@ -1375,7 +1404,16 @@ def blocked_pair_edges(
         new_run = np.concatenate(
             [[True], (he[1:] != he[:-1]) | (ge[1:] != ge[:-1])]
         ) if he.size else np.empty(0, bool)
-        a, b = run_pairs(np.flatnonzero(new_run), he.size)
+        starts = np.flatnonzero(new_run)
+        check_run_pair_budget(
+            starts, he.size, max_pairs_per_bucket,
+            "The equality block key does not discriminate on this corpus "
+            "(all-pairs within a block is inherent to blocking). Use a "
+            "finer block key, raise the budget to accept the memory cost "
+            "explicitly, or switch to a prefix-filtered / LSH candidate "
+            "stage (ngram_jaccard_pairs, minhash_lsh_pairs).",
+        )
+        a, b = run_pairs(starts, he.size)
         if not a.size:
             return empty
         # doc positions ascend within a run (lexsort minor key), and ids

@@ -35,7 +35,7 @@ N_DOCS = int(os.environ.get("GRAFT_SMOKE_DOCS", "500000"))
 # -> PPJoin with intrinsically quadratic candidates; must fail SIZED).
 VOCAB_N = int(os.environ.get("GRAFT_SMOKE_VOCAB", "4000"))
 SMOKE_DIR = os.environ.get(
-    "GRAFT_SMOKE_DIR", f"/tmp/graft_smoke_{N_DOCS}_mixed{VOCAB_N}"
+    "GRAFT_SMOKE_DIR", f"/tmp/graft_smoke_{N_DOCS}_mixedv3_{VOCAB_N}"
 )
 DENSE_LEG = ("ngram_jaccard_pairs", 100_000, 4000)  # n_docs, digit vocab
 GUARDRAIL_LEG = (500_000, 20_000)  # n_docs, uniform letter vocab
@@ -116,6 +116,30 @@ def build_corpus(
             ).astype(np.uint8)
         return flat.view("S6").reshape(idx.size).astype("U6")
 
+    B62 = np.frombuffer(
+        b"0123456789abcdefghijklmnopqrstuvwxyz"
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZ", dtype=np.uint8,
+    )
+
+    def cold_words_from_ids(idx: np.ndarray) -> np.ndarray:
+        # 10-char base-62 words from a 64-bit mix: the char-5-GRAM space
+        # is 62^5 ~ 9.2e8, so doc-unique words yield df~1 shingles at
+        # 500k docs. The first cut used 6-letter lowercase words whose
+        # grams live in a 26^5 = 11.8e6 space — 1.4e8 gram occurrences
+        # saturate it (measured median df 10+ at 500k), every prefix
+        # goes hot, and exact-join candidates hit 41e6 for 72e3 true
+        # pairs: a low-entropy-ALPHABET pathology (the guardrail leg's
+        # territory), not the web shape this leg is meant to model.
+        hv = idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        hv ^= hv >> np.uint64(31)
+        hv *= np.uint64(0xBF58476D1CE4E5B9)
+        flat = np.zeros((idx.size, 10), dtype=np.uint8)
+        for j in range(10):
+            flat[:, j] = B62[
+                ((hv >> np.uint64(6 * j)) % np.uint64(62)).astype(np.int64)
+            ]
+        return flat.view("S10").reshape(idx.size).astype("U10")
+
     if word_style == "letters":
         # uniform small letter vocab: diverse char-5-grams (census exceeds
         # dense_max -> PPJoin) but EVERY prefix shingle is hot — the
@@ -144,20 +168,36 @@ def build_corpus(
         ).reshape(-1)
         if word_style == "mixed":
             # web-corpus shape: every 4th slot from a hot shared vocab
-            # (vocab_n words), the rest from a 2^30 id space — non-dup
-            # docs share only hot words (never in rarest-first prefixes),
-            # so exact-join candidate volume tracks TRUE pairs, not n^2
+            # (vocab_n 6-letter words), the rest 10-char base-62 words
+            # from a 2^30 id space — non-dup docs share only hot words,
+            # whose grams never reach the rarest-first prefixes, so
+            # exact-join candidate volume tracks TRUE pairs, not n^2
             draw = randint(seeds, 7, 1, 0, 1 << 30)
             hot_slot = np.tile(np.arange(40) % 4 == 0, ids.size)
-            widx = np.where(hot_slot, draw % vocab_n, vocab_n + draw)
-            words = words_from_ids(widx).reshape(ids.size, 40)
+            words = np.where(
+                hot_slot,
+                words_from_ids(draw % vocab_n).astype("U10"),
+                cold_words_from_ids(vocab_n + draw),
+            ).reshape(ids.size, 40)
         else:
             words = vocab[
                 randint(seeds, 7, 1, 0, len(vocab))
             ].reshape(ids.size, 40)
-        words = words.astype("U7")
-        words[near, -1] = "changed"
-        texts = np.array([" ".join(row) for row in words], dtype=object)
+        words = words.astype("U10")
+        if word_style == "mixed":
+            # variable doc length (20-40 words), derived from the BASE id
+            # so dup pairs share their length; fixed-length corpora make
+            # (n_chars, lang) equality blocks degenerate (4 blocks of
+            # n/4 docs -> all-pairs, the budget guardrail's territory,
+            # covered by the letters leg)
+            wcnt = 20 + randint(base, 7, 5, 0, 21)
+        else:
+            wcnt = np.full(ids.size, 40, dtype=np.int64)
+        rows = np.flatnonzero(near)
+        words[rows, wcnt[rows] - 1] = "changed"
+        texts = np.array(
+            [" ".join(row[:w]) for row, w in zip(words, wcnt)], dtype=object
+        )
         hot = randint(ids, 7, 2, 0, 20) == 0  # 5% carry the hot chunk
         texts[hot & ~exact] = texts[hot & ~exact] + " " + boiler
         return pa.table(
@@ -282,13 +322,40 @@ def main():
             out["ngram_guardrail@t0.5"] = {"guardrail": "DID NOT FIRE"}
         except Exception as ex:  # noqa: BLE001 — RayTaskError(ValueError)
             msg = str(ex)
-            key = "candidate-pair budget exceeded"
+            # either budget is a correct sized refusal: generation
+            # ("candidate-pair budget exceeded") for raw explode volume,
+            # verify ("verify-stage pair budget exceeded") for distinct
+            # pairs surviving the pre-join dedup
+            key = "pair budget exceeded"
             out["ngram_guardrail@t0.5"] = {
                 "sec": round(time.perf_counter() - t0, 2),
                 "guardrail": "fired" if key in msg else f"other: {msg[:160]}",
             }
         print(json.dumps({"ngram_guardrail@t0.5":
                           out["ngram_guardrail@t0.5"]}), flush=True)
+    # equality-block guardrail: the letters corpus is FIXED length, so
+    # (n_chars, lang) blocking degenerates to 4 blocks of n/4 docs —
+    # all-pairs within a block is inherent to blocking, and the posting
+    # explode must refuse sized (pre-r5 it OOM-killed 33 GB reduce tasks)
+    if "dedup_components" in names and N_DOCS >= 300_000:
+        gn, gv = GUARDRAIL_LEG
+        gdir = f"/tmp/graft_smoke_{gn}_v{gv}"
+        build_corpus(gdir, gn, gv, word_style="letters")
+        t0 = time.perf_counter()
+        try:
+            QUERIES["dedup_components"](gdir).count()
+            out["components_guardrail"] = {"guardrail": "DID NOT FIRE"}
+        except Exception as ex:  # noqa: BLE001 — RayTaskError(ValueError)
+            msg = str(ex)
+            out["components_guardrail"] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "guardrail": (
+                    "fired" if "pair budget exceeded" in msg
+                    else f"other: {msg[:160]}"
+                ),
+            }
+        print(json.dumps({"components_guardrail":
+                          out["components_guardrail"]}), flush=True)
     # dense-bitmap stress: bounded leg (the dense exact-Jaccard plan is
     # O(n^2) by design and gated by dense_docs_max past 150k docs)
     dq, dn, dv = DENSE_LEG

@@ -139,6 +139,46 @@ def test_blocked_pair_edges_matches_bruteforce(ray_session):
         assert row.jaccard == j
 
 
+def test_blocked_kernels_refuse_sized_on_hot_block(ray_session):
+    """A block key that does not discriminate (fixed-length corpus ->
+    one giant (n_chars, lang) block) must raise the sized candidate-pair
+    budget error in BOTH block-local kernels, not allocate the quadratic
+    posting explode (the r5 smoke OOM-killed 33 GB reduce tasks here)."""
+    import pytest
+
+    from geo_epic_ray.stages.components import blocked_components
+    from geo_epic_ray.stages.dedup import blocked_pair_edges
+
+    n = 300
+    # every doc same length + lang -> one block, ~C(300,2) shared-shingle
+    # pairs (shared word 'aaaa bbbb')
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [f"aaaa bbbb {i:06d}" for i in range(n)],
+            "lang": ["en"] * n,
+            "n_chars": np.full(n, 16, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    with pytest.raises(Exception, match="candidate-pair budget exceeded"):
+        blocked_pair_edges(
+            ds, ["n_chars", "lang"], "doc_id", "text", threshold=0.1,
+            max_pairs_per_bucket=1000,
+        ).to_pandas()
+    with pytest.raises(Exception, match="candidate-pair budget exceeded"):
+        blocked_components(
+            ds, ["n_chars", "lang"], "doc_id", "text", threshold=0.1,
+            max_pairs_per_bucket=1000,
+        ).to_pandas()
+    # within budget the same inputs still produce the full labeling
+    out = blocked_components(
+        ds, ["n_chars", "lang"], "doc_id", "text", threshold=0.1,
+        max_pairs_per_bucket=10_000_000,
+    ).to_pandas()
+    assert len(out) == n
+
+
 def test_pagerank_matches_numpy_power_iteration(ray_session):
     from geo_epic_ray.stages.components import pagerank
 
