@@ -299,17 +299,36 @@ def main():
         )
         return ngram_jaccard_pairs(ds, threshold=0.8)
 
-    CUSTOM = {"ngram_jaccard_pairs": ngram_t08}
+    def semdedup_stage(sf_dir: str):
+        # the registry query plants twins and asserts gate-corpus
+        # invariants ("originals survive") that do not hold on dense
+        # clustered Gaussians (whole clusters sit above cosine 0.9, so
+        # greedy keeps ~1 per cluster) — smoke the STAGE, not the fixture
+        from geo_epic_ray.stages.cluster import semdedup
 
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return semdedup(ds, k=16, n_iter=4, threshold=0.9)
+
+    CUSTOM = {
+        "ngram_jaccard_pairs": ngram_t08,
+        "semdedup_keep": semdedup_stage,
+    }
+
+    # "guardrails" sentinel: run only the pathological legs below
     names = sys.argv[1:] or HEAVIES
     out = {}
     for name in names:
+        if name == "guardrails":
+            continue
         timed(name, SMOKE_DIR, name, out, fn=CUSTOM.get(name))
     # guardrail leg: on a uniform-letter-vocab (templated) corpus every
     # prefix shingle is hot — measured 5.7e9 exact candidates at 500k,
     # intrinsically too much for ANY exact plan. The engine must fail
     # SIZED (candidate-pair budget), not OOM-kill workers (pre-r5).
-    if "ngram_jaccard_pairs" in names and N_DOCS >= 300_000:
+    if ("ngram_jaccard_pairs" in names or "guardrails" in names) \
+            and N_DOCS >= 300_000:
         gn, gv = GUARDRAIL_LEG
         gdir = f"/tmp/graft_smoke_{gn}_v{gv}"
         build_corpus(gdir, gn, gv, word_style="letters")
@@ -337,7 +356,8 @@ def main():
     # (n_chars, lang) blocking degenerates to 4 blocks of n/4 docs —
     # all-pairs within a block is inherent to blocking, and the posting
     # explode must refuse sized (pre-r5 it OOM-killed 33 GB reduce tasks)
-    if "dedup_components" in names and N_DOCS >= 300_000:
+    if ("dedup_components" in names or "guardrails" in names) \
+            and N_DOCS >= 300_000:
         gn, gv = GUARDRAIL_LEG
         gdir = f"/tmp/graft_smoke_{gn}_v{gv}"
         build_corpus(gdir, gn, gv, word_style="letters")
@@ -359,7 +379,7 @@ def main():
     # dense-bitmap stress: bounded leg (the dense exact-Jaccard plan is
     # O(n^2) by design and gated by dense_docs_max past 150k docs)
     dq, dn, dv = DENSE_LEG
-    if dq in names:
+    if dq in names or "guardrails" in names:
         dense_dir = f"/tmp/graft_smoke_{dn}_v{dv}_dense"
         build_corpus(dense_dir, dn, dv, word_style="digits")
         timed(dq, dense_dir, f"{dq}@dense{dn // 1000}k", out)
