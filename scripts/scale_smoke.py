@@ -320,7 +320,7 @@ def main():
     names = sys.argv[1:] or HEAVIES
     out = {}
     for name in names:
-        if name == "guardrails":
+        if name in ("guardrails", "dense"):
             continue
         timed(name, SMOKE_DIR, name, out, fn=CUSTOM.get(name))
     # guardrail leg: on a uniform-letter-vocab (templated) corpus every
@@ -377,9 +377,12 @@ def main():
         print(json.dumps({"components_guardrail":
                           out["components_guardrail"]}), flush=True)
     # dense-bitmap stress: bounded leg (the dense exact-Jaccard plan is
-    # O(n^2) by design and gated by dense_docs_max past 150k docs)
+    # O(n^2) by design and gated by dense_docs_max past 150k docs).
+    # Explicit sentinel only: at 100k docs x W=1024 bitmap words this is
+    # a deliberate ~27-CPU-hour quadratic job (the cost dense_docs_max
+    # exists to refuse), not something a heavies re-run should drag in.
     dq, dn, dv = DENSE_LEG
-    if dq in names or "guardrails" in names:
+    if "dense" in names or "guardrails" in names:
         dense_dir = f"/tmp/graft_smoke_{dn}_v{dv}_dense"
         build_corpus(dense_dir, dn, dv, word_style="digits")
         timed(dq, dense_dir, f"{dq}@dense{dn // 1000}k", out)
