@@ -41,6 +41,26 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def schema_stable(ds: rd.Dataset, schema: pa.Schema):
+    """Gate-contract shim for queries whose result can be LEGITIMATELY
+    empty at some corpus shape (anti-joins, dedup survivors, pair
+    finders): ``Dataset.to_pandas`` builds from ``iter_batches``, which
+    yields ZERO batches for a 0-row dataset, so the driver's compare
+    sees a 0-column frame and fails the schema check even when the
+    oracle is also empty (caught by the 100x sweep: an all-clone corpus
+    drives incremental_dedup_new / boilerplate_chunk_removal to empty).
+    ``Dataset.schema()`` is correct — only the pandas conversion drops
+    the columns — so materialize once (the driver consumes the result
+    again immediately; the dual-consumer rule wants this anyway) and
+    hand back a typed empty Arrow table when there are no rows.
+    Production pipelines write Parquet (the writer preserves schema);
+    this wrapper exists solely for the in-memory gate contract."""
+    mat = ds.materialize()
+    if mat.count() == 0:
+        return schema.empty_table()
+    return mat
+
+
 def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from .queries import register
@@ -746,7 +747,14 @@ def incremental_dedup_new(sf_dir: str):
         pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)}),
         require="right",
     )
-    return novel_fast.select_columns(["doc_id"]).union(rescued)
+    from .queries import schema_stable
+
+    # an all-dup ingest (every new prefix already in the old corpus) is a
+    # legitimate outcome — keep the doc_id schema on the empty result
+    return schema_stable(
+        novel_fast.select_columns(["doc_id"]).union(rescued),
+        pa.schema([("doc_id", pa.int64())]),
+    )
 
 
 @register("pagerank_canonical", _pagerank_canonical_sql())

@@ -101,7 +101,17 @@ def boilerplate_chunk_removal(sf_dir: str):
         )
         return out.to_pandas()
 
-    return bucketed_group_agg(kept, ["doc_id"], reassemble, n_buckets=16)
+    from .queries import schema_stable
+
+    # a corpus where EVERY chunk is boilerplate (e.g. wholesale-cloned
+    # docs) legitimately empties the result — keep the output schema
+    return schema_stable(
+        bucketed_group_agg(kept, ["doc_id"], reassemble, n_buckets=16),
+        pa.schema(
+            [("doc_id", pa.int64()), ("clean_text", pa.string()),
+             ("n_kept", pa.int64())]
+        ),
+    )
 
 
 # --- compiled-regex redaction (PII-scrub shape) ------------------------------

@@ -86,7 +86,15 @@ def ensure_converted(
 
     import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # cache key = path + source-file identity (size, mtime): a corpus
+    # REBUILT in place at the same path must not serve the stale
+    # converted copy (bit the 100x sweep when /tmp/graft_sf1 was
+    # regenerated with perturbed text — roundtrips compared old text
+    # against the new parquet)
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:8]
     out = os.path.join(scratch_root, f"{fmt}_{tag}")
     # marker is a SIBLING of the shard dir: a stray non-data file inside
     # the directory breaks extension-less directory reads (read_csv)

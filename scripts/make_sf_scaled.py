@@ -71,6 +71,25 @@ def scale_table(name: str, tbl: pa.Table, k: int) -> pa.Table:
         for col in PERTURB.get(name, []):
             idx = t.schema.get_field_index(col)
             t = t.set_column(idx, col, pc.add(t.column(col), pa.scalar(i * eps, type=pa.float64())))
+        if name == "documents" and i > 0:
+            # prepend a per-copy tag word to the TEXT (and keep n_chars
+            # consistent): without it every clone family shares ten
+            # byte-identical texts, which drives the text-dedup queries
+            # (incremental prefix dedup, boilerplate chunk counts) to
+            # ALL-duplicate degenerate outputs — the first sweep at 10x
+            # returned legitimately-empty results on both sides instead
+            # of exercising the operators' semantics at scale. The tag
+            # changes the 10-char blocking prefix AND shifts the 5-word
+            # chunk windows, so copies are near- but not exact dups.
+            tag = pa.scalar(f"c{i} ")
+            idx = t.schema.get_field_index("text")
+            tagged = pc.binary_join_element_wise(tag, t.column("text"), "")
+            t = t.set_column(idx, "text", tagged)
+            nidx = t.schema.get_field_index("n_chars")
+            t = t.set_column(
+                nidx, "n_chars",
+                pc.add(t.column("n_chars"), pa.scalar(len(f"c{i} "), type=pa.int64())),
+            )
         if name == "embeddings" and i > 0:
             emb = t.column("embedding").combine_chunks()
             vals = np.array(emb.values, dtype=np.float32, copy=True)

@@ -164,3 +164,34 @@ def test_sequence_pack_bins(ray_session, corpus_dir):
     assert (np.diff(by_id.bin.to_numpy()) >= 0).all()
     # the jumbo doc (6001 chars > budget 4096) forces doc 13 past bin 1
     assert by_id.loc[13, "bin"] >= 1
+
+
+@pytest.fixture(scope="module")
+def clone_corpus_dir(tmp_path_factory):
+    """All-clone corpus: 3 byte-identical copies of 50 base docs. Every
+    5-word chunk appears 3 times (> the boilerplate threshold of 2) and
+    every 'new-half' blocking prefix exists in the old half — BOTH
+    dedup queries legitimately return ZERO rows. The 100x sweep hit this
+    shape (text-cloning replication) and the Ray side lost its schema:
+    Dataset.to_pandas yields a 0-column frame for a 0-row dataset."""
+    base = [
+        " ".join(f"t{i}_{j}" for j in range(12)) for i in range(50)
+    ]
+    texts = base * 3
+    df = pd.DataFrame(
+        {"doc_id": np.arange(150, dtype=np.int64), "text": texts,
+         "lang": "en", "source": "src0",
+         "n_chars": [len(t) for t in texts]}
+    )
+    d = tmp_path_factory.mktemp("clones")
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_empty_results_keep_schema(ray_session, clone_corpus_dir):
+    """Legitimately-empty results must still carry the declared columns
+    (the driver compares schema even at 0 rows vs the DuckDB oracle)."""
+    for name in ("incremental_dedup_new", "boilerplate_chunk_removal"):
+        got = _check(name, clone_corpus_dir, ray_session)
+        assert len(got) == 0, name
+        assert list(got.columns), f"{name} lost its schema on empty"
