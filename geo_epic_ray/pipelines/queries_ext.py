@@ -17,7 +17,14 @@ import ray.data as rd
 from ..stages.climate import DAYS_IN_MONTH, INP_COLUMNS, monthly_climate_stats
 from . import oracle_sql as _oracle_sql
 from .queries import _TILE_SQL as _TILE_SQL_EXT
-from .queries import register
+from .queries import register, schema_stable
+
+
+def _PAIR_SCHEMA(metric: str, typ: pa.DataType) -> pa.Schema:
+    """Output schema of the pair-finder queries (id_a, id_b, metric) —
+    used by schema_stable so a legitimately dup-free corpus still
+    reports typed empty columns to the driver's compare."""
+    return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), (metric, typ)])
 
 # --- A1: the reference's daily->monthly INP statistics, applied to a
 # pseudo-weather table derived from events ----------------------------------
@@ -574,7 +581,11 @@ def minhash_lsh_pairs(sf_dir: str):
         b["jaccard"] = b["jaccard"].round(6)
         return b
 
-    return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
+    # a dup-free corpus legitimately yields zero pairs — keep the schema
+    return schema_stable(
+        out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"]),
+        _PAIR_SCHEMA("jaccard", pa.float64()),
+    )
 
 
 @register("simhash_fingerprints", _oracle_sql.simhash_fingerprints_sql())
@@ -617,7 +628,9 @@ def simhash_dup_pairs_q(sf_dir: str):
     out = simhash_dup_pairs(
         ds.map_batches(plant, batch_format="pandas"), max_hamming=3
     )
-    return out.sort(["id_a", "id_b"])
+    return schema_stable(
+        out.sort(["id_a", "id_b"]), _PAIR_SCHEMA("hamming", pa.int64())
+    )
 
 
 @register("embedding_dup_pairs", _oracle_sql.embedding_pairs_sql())
@@ -667,7 +680,10 @@ def embedding_dup_pairs_q(sf_dir: str):
         b["cosine"] = b["cosine"].round(6)
         return b
 
-    return out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"])
+    return schema_stable(
+        out.map_batches(rnd, batch_format="pandas").sort(["id_a", "id_b"]),
+        _PAIR_SCHEMA("cosine", pa.float64()),
+    )
 
 
 _WINNOW_SQL = f"""
@@ -714,9 +730,12 @@ def winnow_overlap_pairs_q(sf_dir: str):
         )
         return pd.concat([b, extra], ignore_index=True)
 
-    return winnow_overlap_pairs(
-        ds.map_batches(plant, batch_format="pandas"), min_shared=3, max_df=16
-    ).sort(["id_a", "id_b"])
+    return schema_stable(
+        winnow_overlap_pairs(
+            ds.map_batches(plant, batch_format="pandas"), min_shared=3, max_df=16
+        ).sort(["id_a", "id_b"]),
+        _PAIR_SCHEMA("n_shared", pa.int64()),
+    )
 
 
 # SQL mirrors of the heuristic lang-ID: per-language stopword coverage over

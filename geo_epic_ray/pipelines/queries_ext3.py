@@ -302,10 +302,19 @@ def decontamination_overlap(sf_dir: str):
     # a doc can hit chunks in many buckets: one grouped dedup pass
     from ..stages.aggregates import bucketed_group_agg
 
-    return bucketed_group_agg(
-        hits, ["doc_id"],
-        lambda df: df.drop_duplicates("doc_id")[["doc_id"]],
-        n_buckets=16,
+    import pyarrow as pa
+
+    from .queries import schema_stable
+
+    # a clean corpus (no benchmark contamination) is the HAPPY outcome —
+    # the empty result must still carry its schema
+    return schema_stable(
+        bucketed_group_agg(
+            hits, ["doc_id"],
+            lambda df: df.drop_duplicates("doc_id")[["doc_id"]],
+            n_buckets=16,
+        ),
+        pa.schema([("doc_id", pa.int64())]),
     )
 
 

@@ -195,3 +195,19 @@ def test_empty_results_keep_schema(ray_session, clone_corpus_dir):
         got = _check(name, clone_corpus_dir, ray_session)
         assert len(got) == 0, name
         assert list(got.columns), f"{name} lost its schema on empty"
+
+
+def test_pair_finder_empty_keeps_schema(ray_session, tmp_path):
+    """A dup-free corpus yields zero MinHash pairs — the typed empty
+    contract must hold for the pair finders too."""
+    texts = [" ".join(f"u{i}_{j}" for j in range(30)) for i in range(40)]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(40, dtype=np.int64), "text": texts,
+         "lang": "en", "source": "s", "n_chars": [len(t) for t in texts]}
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    from geo_epic_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["minhash_lsh_pairs"](str(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert sorted(got.columns) == ["id_a", "id_b", "jaccard"]
