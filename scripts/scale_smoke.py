@@ -322,13 +322,57 @@ def main():
     for name in names:
         if name in ("guardrails", "dense"):
             continue
-        timed(name, SMOKE_DIR, name, out, fn=CUSTOM.get(name))
+        try:
+            timed(name, SMOKE_DIR, name, out, fn=CUSTOM.get(name))
+        except Exception as ex:  # noqa: BLE001 — RayTaskError(ValueError)
+            if "pair budget exceeded" not in str(ex):
+                raise
+            # a budget refusal on the MAIN corpus is data, not a crash:
+            # record it sized and keep smoking the other heavies (at 1M
+            # docs the (n_chars, lang) blocks grow past the default
+            # 2e7-pairs/bucket budget — blocking is all-pairs within a
+            # block, so candidate volume grows ~n^2/#blocks)
+            out[name] = {
+                "guardrail": "sized refusal",
+                "msg": str(ex).rsplit("ValueError: ", 1)[-1][:300],
+            }
+            print(json.dumps({name: out[name]}), flush=True)
+    # raised-budget escape hatch: when dedup_components refuses on the
+    # main corpus, prove the documented remediation ("raise the budget to
+    # accept the memory cost explicitly") completes with bounded memory —
+    # same pipeline, max_pairs_per_bucket lifted, 2x reduce buckets
+    if out.get("dedup_components", {}).get("guardrail") == "sized refusal":
+        from geo_epic_ray.stages.components import connected_components
+        from geo_epic_ray.stages.dedup import blocked_pair_edges
+        import pandas as pd
+
+        def components_raised(sf_dir: str):
+            docs = rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang", "n_chars"],
+            ).materialize()
+            edges = blocked_pair_edges(
+                docs, ["n_chars", "lang"], "doc_id", "text",
+                threshold=0.2, n_buckets=64, max_pairs_per_bucket=120_000_000,
+            )
+            nodes = docs.select_columns(["doc_id"]).map_batches(
+                lambda b: pd.DataFrame({"id_a": b.doc_id}),
+                batch_format="pandas",
+            )
+            return connected_components(
+                edges.select_columns(["id_a", "id_b"]), nodes,
+                node_col="doc_id", label_col="component",
+            )
+
+        timed("dedup_components", SMOKE_DIR,
+              "dedup_components@budget1.2e8", out, fn=components_raised)
     # guardrail leg: on a uniform-letter-vocab (templated) corpus every
     # prefix shingle is hot — measured 5.7e9 exact candidates at 500k,
     # intrinsically too much for ANY exact plan. The engine must fail
     # SIZED (candidate-pair budget), not OOM-kill workers (pre-r5).
-    if ("ngram_jaccard_pairs" in names or "guardrails" in names) \
-            and N_DOCS >= 300_000:
+    # (explicit "guardrails" sentinel only since the 500k record landed —
+    # the letters-corpus legs are fixed-size and already in BASELINE.md)
+    if "guardrails" in names:
         gn, gv = GUARDRAIL_LEG
         gdir = f"/tmp/graft_smoke_{gn}_v{gv}"
         build_corpus(gdir, gn, gv, word_style="letters")
@@ -356,8 +400,7 @@ def main():
     # (n_chars, lang) blocking degenerates to 4 blocks of n/4 docs —
     # all-pairs within a block is inherent to blocking, and the posting
     # explode must refuse sized (pre-r5 it OOM-killed 33 GB reduce tasks)
-    if ("dedup_components" in names or "guardrails" in names) \
-            and N_DOCS >= 300_000:
+    if "guardrails" in names:
         gn, gv = GUARDRAIL_LEG
         gdir = f"/tmp/graft_smoke_{gn}_v{gv}"
         build_corpus(gdir, gn, gv, word_style="letters")
