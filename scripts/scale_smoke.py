@@ -364,8 +364,19 @@ def main():
                 node_col="doc_id", label_col="component",
             )
 
-        timed("dedup_components", SMOKE_DIR,
-              "dedup_components@budget1.2e8", out, fn=components_raised)
+        try:
+            timed("dedup_components", SMOKE_DIR,
+                  "dedup_components@budget1.2e8", out, fn=components_raised)
+        except Exception as ex:  # noqa: BLE001
+            if "pair budget exceeded" not in str(ex):
+                raise
+            out["dedup_components@budget1.2e8"] = {
+                "guardrail": "sized refusal",
+                "msg": str(ex).rsplit("ValueError: ", 1)[-1][:300],
+            }
+            print(json.dumps({"dedup_components@budget1.2e8":
+                              out["dedup_components@budget1.2e8"]}),
+                  flush=True)
     # guardrail leg: on a uniform-letter-vocab (templated) corpus every
     # prefix shingle is hot — measured 5.7e9 exact candidates at 500k,
     # intrinsically too much for ANY exact plan. The engine must fail
