@@ -273,10 +273,12 @@ def blocked_components(
     use the generic ``connected_components`` only when edges can cross
     partitioning keys (e.g. MinHash band candidates). Requires
     threshold > 0 (posting lists only see pairs sharing a shingle).
-    ``max_pairs_per_bucket`` refuses sized when the block key does not
+    ``max_pairs_per_bucket`` bounds the DISTINCT candidate pairs resident
+    per bucket (the posting-pair transient is chunked — see
+    dedup.posting_pair_counts); refuses sized when the block key does not
     discriminate (see dedup.blocked_pair_edges)."""
     from . import exchange
-    from .dedup import char_shingle_hashes, check_run_pair_budget, run_pairs
+    from .dedup import char_shingle_hashes, posting_pair_counts
 
     if threshold <= 0:
         raise ValueError("blocked_components requires threshold > 0")
@@ -305,18 +307,15 @@ def blocked_components(
                 [[True], (he[1:] != he[:-1]) | (ge2[1:] != ge2[:-1])]
             )
             starts = np.flatnonzero(new_run)
-            check_run_pair_budget(
-                starts, he.size, max_pairs_per_bucket,
+            n = len(ids)
+            uk, cnt = posting_pair_counts(
+                starts, he.size, de, n, max_pairs_per_bucket,
                 "The equality block key does not discriminate on this "
                 "corpus. Use a finer block key, raise the budget to accept "
                 "the memory cost explicitly, or switch to a prefix-filtered "
                 "/ LSH candidate stage feeding connected_components.",
             )
-            a, b = run_pairs(starts, he.size)
-            if a.size:
-                n = len(ids)
-                key = de[a].astype(np.int64) * n + de[b]
-                uk, cnt = np.unique(key, return_counts=True)
+            if uk.size:
                 pa_, pb_ = uk // n, uk % n
                 jac = cnt / (sizes[pa_] + sizes[pb_] - cnt)
                 keep = jac >= threshold

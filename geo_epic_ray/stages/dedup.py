@@ -306,26 +306,96 @@ def keyed_id_pairs(
     return a, b, order
 
 
-def check_run_pair_budget(
-    run_starts: np.ndarray, size: int, max_pairs: int | None, hint: str
-) -> None:
-    """Sized refusal for posting-list pair explosions: the exact pair
-    count is known from the run lengths BEFORE anything quadratic is
-    allocated (sum C(len, 2)); a pathological histogram raises a
-    ValueError naming the hottest runs instead of OOM-killing the worker
-    (the r5 scale smoke lost reduce tasks at 33 GB RSS to fixed-length
-    corpora collapsing an (n_chars, lang) equality block)."""
-    if max_pairs is None or not size:
-        return
-    runs = np.diff(np.r_[run_starts, size]).astype(np.int64)
-    total = int((runs * (runs - 1) // 2).sum())
-    if total > max_pairs:
+def posting_pair_counts(
+    starts: np.ndarray,
+    n: int,
+    de: np.ndarray,
+    n_docs: int,
+    max_distinct_pairs: int | None,
+    hint: str,
+    chunk_pairs: int = 8_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct within-run doc pairs of a posting array with their
+    shared-shingle counts: returns (packed keys ``da * n_docs + db``,
+    int64 counts), the exact input to a Jaccard verify.
+
+    This is the bounded-memory form of ``run_pairs`` + ``np.unique``:
+    posting-pair volume grows quadratically inside a hot equality block
+    (the r5 1M/2M smoke measured 3.5e7 → 1.4e8 pairs/bucket for 2x docs),
+    but the DISTINCT pair set it collapses to is what actually stays
+    resident. Runs are processed in slices of ~``chunk_pairs`` pairs
+    (never splitting a run — a pair's count accumulates across runs, and
+    all of one run's pairs are distinct), partial (key, count) results
+    compacted by sum whenever the accumulator passes 2x chunk size. The
+    transient is O(chunk + hottest run); the resident set is checked
+    against ``max_distinct_pairs`` at every compaction — a genuinely
+    quadratic corpus (e.g. a fixed-length templated one where the block
+    key does not discriminate) still refuses sized, now on the bound
+    that matters, before the accumulator outgrows the budget."""
+    e = np.empty(0, np.int64)
+    if n == 0 or starts.size == 0:
+        return e, e
+    runs = np.diff(np.r_[starts, n]).astype(np.int64)
+    c = runs * (runs - 1) // 2
+    total = int(c.sum())
+    if total == 0:
+        return e, e
+
+    def refuse(count: int, what: str) -> None:
         top = np.sort(runs)[-3:][::-1]
         raise ValueError(
-            f"candidate-pair budget exceeded: {total:.3g} pairs in one "
-            f"bucket (budget {max_pairs:.3g}); hottest key run sizes "
-            f"{top.tolist()}. {hint}"
+            f"candidate-pair budget exceeded: {count:.3g} {what} in one "
+            f"bucket (budget {max_distinct_pairs:.3g}); hottest key run "
+            f"sizes {top.tolist()}. {hint}"
         )
+
+    if total <= chunk_pairs:
+        a, b = run_pairs(starts, n)
+        key = de[a].astype(np.int64) * n_docs + de[b]
+        uk, cnt = np.unique(key, return_counts=True)
+        if max_distinct_pairs is not None and uk.size > max_distinct_pairs:
+            refuse(uk.size, "distinct candidate pairs")
+        return uk, cnt
+    # a single run's pairs are all distinct, so the hottest run lower-
+    # bounds the resident set — refuse before allocating anything
+    if max_distinct_pairs is not None and int(c.max()) > max_distinct_pairs:
+        refuse(int(c.max()), "pairs in the hottest run")
+    cum = np.cumsum(c)
+    nruns = starts.size
+    acc_k: list[np.ndarray] = []
+    acc_c: list[np.ndarray] = []
+    acc_n = 0
+
+    def compact() -> None:
+        nonlocal acc_k, acc_c, acc_n
+        keys = np.concatenate(acc_k)
+        uk, inv = np.unique(keys, return_inverse=True)
+        cnt = np.bincount(inv, weights=np.concatenate(acc_c)).astype(np.int64)
+        if max_distinct_pairs is not None and uk.size > max_distinct_pairs:
+            refuse(uk.size, "distinct candidate pairs")
+        acc_k, acc_c, acc_n = [uk], [cnt], uk.size
+
+    prev = 0
+    done_pairs = 0
+    while prev < nruns:
+        r1 = int(np.searchsorted(cum, done_pairs + chunk_pairs, side="left"))
+        r1 = max(r1, prev + 1)
+        r1 = min(r1, nruns)
+        e0 = int(starts[prev])
+        e1 = int(starts[r1]) if r1 < nruns else n
+        a, b = run_pairs(starts[prev:r1] - e0, e1 - e0)
+        if a.size:
+            key = de[e0 + a].astype(np.int64) * n_docs + de[e0 + b]
+            uk, cnt = np.unique(key, return_counts=True)
+            acc_k.append(uk)
+            acc_c.append(cnt.astype(np.int64))
+            acc_n += uk.size
+            if acc_n > 2 * chunk_pairs:
+                compact()
+        done_pairs = int(cum[r1 - 1])
+        prev = r1
+    compact()
+    return acc_k[0], acc_c[0]
 
 
 def pair_bucket_keys(id_a: np.ndarray, id_b: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -1361,11 +1431,16 @@ def blocked_pair_edges(
     Requires threshold > 0 (the posting-list kernel only sees pairs with
     at least one shared shingle).
 
-    ``max_pairs_per_bucket`` bounds the posting-pair explode: equality
-    blocking is all-pairs WITHIN a block, so a key that fails to
-    discriminate (e.g. (n_chars, lang) over a fixed-length corpus — 4
-    blocks of 125k docs on the r5 smoke) is intrinsically quadratic;
-    refuse sized instead of OOM-killing the reduce task."""
+    ``max_pairs_per_bucket`` bounds the DISTINCT candidate pairs resident
+    per bucket: equality blocking is all-pairs WITHIN a block, so a key
+    that fails to discriminate (e.g. (n_chars, lang) over a fixed-length
+    corpus — 4 blocks of 125k docs on the r5 smoke) is intrinsically
+    quadratic; refuse sized instead of OOM-killing the reduce task. The
+    posting-pair TRANSIENT (pairs with multiplicity across shingles —
+    measured 3.5e7→1.4e8/bucket for 1M→2M docs on a web-shape corpus) is
+    chunked by ``posting_pair_counts`` and never held whole, so a
+    growing corpus only hits the budget when the distinct candidate set
+    itself outgrows memory."""
     from . import exchange
 
     if threshold <= 0:
@@ -1405,22 +1480,19 @@ def blocked_pair_edges(
             [[True], (he[1:] != he[:-1]) | (ge[1:] != ge[:-1])]
         ) if he.size else np.empty(0, bool)
         starts = np.flatnonzero(new_run)
-        check_run_pair_budget(
-            starts, he.size, max_pairs_per_bucket,
+        # doc positions ascend within a run (lexsort minor key), and ids
+        # ascend with position within a block -> id_a < id_b
+        n = len(ids)
+        uk, cnt = posting_pair_counts(
+            starts, he.size, de, n, max_pairs_per_bucket,
             "The equality block key does not discriminate on this corpus "
             "(all-pairs within a block is inherent to blocking). Use a "
             "finer block key, raise the budget to accept the memory cost "
             "explicitly, or switch to a prefix-filtered / LSH candidate "
             "stage (ngram_jaccard_pairs, minhash_lsh_pairs).",
         )
-        a, b = run_pairs(starts, he.size)
-        if not a.size:
+        if not uk.size:
             return empty
-        # doc positions ascend within a run (lexsort minor key), and ids
-        # ascend with position within a block -> id_a < id_b
-        n = len(ids)
-        key = de[a].astype(np.int64) * n + de[b]
-        uk, cnt = np.unique(key, return_counts=True)
         pa_, pb_ = uk // n, uk % n
         union = sizes[pa_] + sizes[pb_] - cnt
         jac = cnt / union

@@ -225,3 +225,68 @@ def test_pagerank_empty_edges(ray_session):
     )
     out = pagerank(e, n_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_posting_pair_counts_chunked_matches_single_pass():
+    """The bounded-memory chunked accumulation must be bit-identical to
+    the one-shot run_pairs + np.unique it replaces, including pairs whose
+    shared-shingle count accumulates across runs that land in different
+    chunks."""
+    from geo_epic_ray.stages.dedup import posting_pair_counts, run_pairs
+
+    rng = np.random.default_rng(41)
+    n_docs = 60
+    # posting array: ~400 runs of skewed sizes over 60 docs, sorted doc
+    # positions within each run (the kernel's invariant)
+    runs = rng.integers(1, 12, size=400)
+    de_parts, starts, pos = [], [], 0
+    for r in runs:
+        members = np.sort(rng.choice(n_docs, size=min(r, n_docs), replace=False))
+        de_parts.append(members)
+        starts.append(pos)
+        pos += members.size
+    de = np.concatenate(de_parts).astype(np.int64)
+    starts = np.array(starts, dtype=np.int64)
+    n = int(de.size)
+
+    a, b = run_pairs(starts, n)
+    key = de[a].astype(np.int64) * n_docs + de[b]
+    want_k, want_c = np.unique(key, return_counts=True)
+
+    # force many chunks AND many compactions
+    got_k, got_c = posting_pair_counts(
+        starts, n, de, n_docs, None, "", chunk_pairs=50
+    )
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+    # single-pass path (chunk larger than total) agrees too
+    got_k2, got_c2 = posting_pair_counts(
+        starts, n, de, n_docs, 10**9, "", chunk_pairs=10**9
+    )
+    np.testing.assert_array_equal(got_k2, want_k)
+    np.testing.assert_array_equal(got_c2, want_c)
+
+
+def test_posting_pair_counts_budget_refusals():
+    """Both refusal modes: a hottest-run lower bound before any
+    allocation on the chunked path, and the distinct-pair check on the
+    accumulator / single pass."""
+    import pytest
+
+    from geo_epic_ray.stages.dedup import posting_pair_counts
+
+    # one run of 100 docs -> 4950 distinct pairs
+    de = np.arange(100, dtype=np.int64)
+    starts = np.array([0], dtype=np.int64)
+    with pytest.raises(ValueError, match="hottest run"):
+        posting_pair_counts(starts, 100, de, 100, 1000, "finer key",
+                            chunk_pairs=10)
+    with pytest.raises(ValueError, match="distinct candidate pairs"):
+        posting_pair_counts(starts, 100, de, 100, 1000, "finer key")
+    # within budget: completes on both paths
+    k1, c1 = posting_pair_counts(starts, 100, de, 100, 5000, "")
+    k2, c2 = posting_pair_counts(starts, 100, de, 100, 5000, "",
+                                 chunk_pairs=100)
+    assert k1.size == 4950 and (c1 == 1).all()
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(c1, c2)
