@@ -262,6 +262,7 @@ def blocked_components(
     n_buckets: int = 32,
     label_col: str = "component",
     max_pairs_per_bucket: int | None = 20_000_000,
+    reduce_num_cpus: float | None = None,
 ) -> rd.Dataset:
     """Near-dup clusters when edges provably live WITHIN equality blocks
     (the common dedup case: candidates are only generated inside a
@@ -339,7 +340,12 @@ def blocked_components(
     empty = pd.DataFrame(
         {id_col: np.empty(0, np.int64), label_col: np.empty(0, np.int64)}
     )
-    return exchange.group_map(parts, label_bucket, empty)
+    from .dedup import pair_reduce_cpus
+
+    return exchange.group_map(
+        parts, label_bucket, empty,
+        reduce_num_cpus=pair_reduce_cpus(max_pairs_per_bucket, reduce_num_cpus),
+    )
 
 
 def union_find_components(edges: list[tuple[int, int]], nodes: list[int]) -> dict[int, int]:

@@ -306,6 +306,30 @@ def keyed_id_pairs(
     return a, b, order
 
 
+_DEFAULT_PAIR_BUDGET = 20_000_000
+
+
+def pair_reduce_cpus(
+    max_pairs: int | None, reduce_num_cpus: float | None
+) -> float | None:
+    """CPU claim for a pair-kernel reduce task. A caller who raises the
+    distinct-pair budget consents to a bigger per-bucket resident set —
+    so the reduce task must claim proportionally more CPU slots, which
+    drops per-node reduce concurrency and keeps total heap bounded
+    (claiming k of N slots bounds concurrent reducers at N/k). Sizing:
+    ~90 B per distinct pair of transient (np.unique + lexsort scratch,
+    measured 6.4 GB at ~7e7 pairs on the r5 5M smoke — which the kernel
+    OOM-killed at 32-way concurrency before this existed) against Ray's
+    per-slot heap share (node heap / num_cpus, ~4 GiB on the reference
+    box). An explicit ``reduce_num_cpus`` always wins; the default
+    budget keeps the plain 1-CPU claim."""
+    if reduce_num_cpus is not None:
+        return reduce_num_cpus
+    if max_pairs is None or max_pairs <= 2 * _DEFAULT_PAIR_BUDGET:
+        return None
+    return float(min(8, max(2, round(max_pairs * 90 / (4 << 30)))))
+
+
 def posting_pair_counts(
     starts: np.ndarray,
     n: int,
@@ -1419,6 +1443,7 @@ def blocked_pair_edges(
     threshold: float = 0.2,
     n_buckets: int = 32,
     max_pairs_per_bucket: int | None = 20_000_000,
+    reduce_num_cpus: float | None = None,
 ) -> rd.Dataset:
     """Near-dup edges from EQUALITY blocking (one block key per doc, e.g.
     (n_chars, lang)) in ONE shuffle: rows (id, keys, text) hash-bucket by
@@ -1514,7 +1539,10 @@ def blocked_pair_edges(
         n_buckets,
         bucket_of,
     )
-    return exchange.group_map(parts, per_bucket, empty)
+    return exchange.group_map(
+        parts, per_bucket, empty,
+        reduce_num_cpus=pair_reduce_cpus(max_pairs_per_bucket, reduce_num_cpus),
+    )
 
 
 def exact_substring_dedup(

@@ -274,9 +274,19 @@ def group_map(
     *,
     rebucket: Callable[[int], BucketFn] | None = None,
     max_bucket_rows: int | None = None,
+    reduce_num_cpus: float | None = None,
 ) -> rd.Dataset:
     """One reduce task per non-empty bucket: fn(bucket_rows) -> DataFrame.
     ``empty`` supplies the output schema when every bucket is empty.
+
+    ``reduce_num_cpus`` sizes each reduce task's CPU claim (Ray default
+    1): a kernel whose per-bucket transient is several GB must claim
+    several CPU slots so fewer reducers run concurrently per node —
+    claiming k of N slots bounds concurrency at N/k and thus total heap
+    at (node heap / N) x N = node heap regardless of k's exact value,
+    provided the per-task transient really is ~k x the per-slot share.
+    The r5 5M-doc smoke OOM-killed 6.4 GB reducers at 32-way
+    concurrency; the same job completes with the claim raised.
 
     Bucket-size guardrail: when ``max_bucket_rows`` is set, ``parts`` came
     from :func:`scatter` (so per-bucket totals are known), and the caller
@@ -288,6 +298,11 @@ def group_map(
     kernels whose contract is per-KEY (bucketed_group_agg's "full groupby
     of the rows given"), hence opt-in."""
     rows = getattr(parts, "bucket_rows", None)
+    apply_task = (
+        _apply_task.options(num_cpus=reduce_num_cpus)
+        if reduce_num_cpus is not None
+        else _apply_task
+    )
     tables = []
     for b, plist in enumerate(parts):
         if not plist:
@@ -308,9 +323,9 @@ def group_map(
             for sb in range(n_sub):
                 sp = [sub[i][1 + sb] for i in range(len(sub)) if sub_counts[i][sb] > 0]
                 if sp:
-                    tables.append(_apply_task.remote(fn, *sp))
+                    tables.append(apply_task.remote(fn, *sp))
         else:
-            tables.append(_apply_task.remote(fn, *plist))
+            tables.append(apply_task.remote(fn, *plist))
     return _result(tables, empty)
 
 

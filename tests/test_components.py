@@ -290,3 +290,16 @@ def test_posting_pair_counts_budget_refusals():
     assert k1.size == 4950 and (c1 == 1).all()
     np.testing.assert_array_equal(k1, k2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_pair_reduce_cpus_policy():
+    """Raising the distinct-pair budget must raise the reduce task's CPU
+    claim (bounding per-node reduce concurrency); the default budget and
+    an explicit override keep the caller's choice."""
+    from geo_epic_ray.stages.dedup import pair_reduce_cpus
+
+    assert pair_reduce_cpus(20_000_000, None) is None
+    assert pair_reduce_cpus(None, None) is None
+    assert pair_reduce_cpus(120_000_000, None) == 3.0
+    assert pair_reduce_cpus(1_000_000_000, None) == 8.0  # capped
+    assert pair_reduce_cpus(120_000_000, 1.0) == 1.0  # explicit wins
