@@ -302,3 +302,32 @@ def test_bucketed_group_agg_guardrail_end_to_end(ray_session):
     )
     want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_map_reduce_num_cpus_same_result(ray_session):
+    """A reduce CPU claim changes scheduling only, never the answer —
+    the knob big-budget pair kernels use to bound per-node reduce
+    concurrency (the r5 5M smoke OOM-killed 32-way 6.4 GB reducers)."""
+    df = _df(3000)
+    ds = rd.from_pandas(df).repartition(5)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    outs = []
+    for claim in (None, 2.0):
+        parts = exchange.scatter(ds, 8, exchange.hash_bucket_fn("k", 8))
+        outs.append(
+            exchange.group_map(parts, agg, empty, reduce_num_cpus=claim)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    want = (
+        df.groupby("k", as_index=False)["v"].sum()
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(outs[0], want)
